@@ -1,0 +1,77 @@
+"""Dedup configuration contract.
+
+Mirrors the reference's signature contract (shingle size 7, 128 permutations,
+Jaccard threshold 0.85 — src/quarrycore/config/config.py:195-208 in the
+reference) plus the parameters the north rule adds (SimHash Hamming blocking,
+suffix-array minimum overlap).
+
+Two hashing families coexist:
+
+* the *oracle family* (``minhash_sql`` etc.): md5-prefix integer hashing that
+  is expressible identically in Spark SQL and DuckDB SQL, used by the
+  driver's correctness gate — all integer arithmetic, no floats;
+* the *datasketch family* (``signatures.py``): a bit-exact reimplementation
+  of the public datasketch MinHash scheme (sha1→uint32, universal hashing
+  mod 2^61-1, seed 1), used by the production pipeline for recall parity
+  with the reference (src/quarrycore/dedup/minhash_redis.py:186-202).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# 31-bit Mersenne prime: a*h+b stays inside int64 for a,b,h < 2^31, so the
+# same arithmetic is exact in Spark SQL, DuckDB SQL, and numpy int64.
+MERSENNE_31 = (1 << 31) - 1
+
+# datasketch-compatible constants (public datasketch library scheme).
+DS_MERSENNE_61 = (1 << 61) - 1
+DS_MAX_HASH = (1 << 32) - 1
+DS_SEED = 1
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (reference contract: minhash_redis.py:162-184, config.py:205)
+    shingle_size: int = 7          # character shingles
+    # --- MinHash (reference contract: num_perm=128, threshold=0.85)
+    num_perm: int = 128
+    jaccard_threshold_pct: int = 85  # integer percent — exact arithmetic
+    # LSH banding: bands * rows_per_band == num_perm. (16, 8) is the optimal
+    # integration-derived split for threshold 0.85 / 128 perms with equal
+    # FP/FN weights (same objective as datasketch minhash_lsh.py:68-72 in
+    # the reference's dependency); see tests/test_lsh_params.py.
+    lsh_bands: int = 16
+    lsh_rows: int = 8
+    # --- SimHash stage (north-rule replacement for the reference's fuzzy
+    # near_exact/very_similar tiers, fuzzy_matcher.py:200-211)
+    simhash_bits: int = 60         # 15 hex chars of md5 → fits int64 signed
+    simhash_bands: int = 4         # pigeonhole blocking: ham<=3 ⇒ one band equal
+    hamming_max: int = 3
+    # --- substring stage (north-rule replacement for difflib partial
+    # matches, fuzzy_matcher.py:213-236): common substring >= min_overlap
+    min_overlap: int = 100         # chars, production (pages corpus)
+    min_overlap_small: int = 30    # chars, for the short synthetic documents table
+    # --- exact stage
+    content_hash_bits: int = 256   # sha2-256 over canonical text
+    # --- quality gate (reference: config.py:261, assessor.py:70-119)
+    min_quality_scaled: int = 60   # 0..100 integer scale
+    min_text_len: int = 400        # LengthScorer threshold (scorers.py:74-84)
+
+    seed: int = DS_SEED
+
+    minhash_perms: tuple = field(default=None, compare=False, repr=False)
+
+    def __post_init__(self):
+        rng = np.random.RandomState(self.seed)
+        # a in [1, p), b in [0, p) — universal hash family mod MERSENNE_31.
+        a = rng.randint(1, MERSENNE_31, size=self.num_perm, dtype=np.int64)
+        b = rng.randint(0, MERSENNE_31, size=self.num_perm, dtype=np.int64)
+        object.__setattr__(self, "minhash_perms", tuple(zip(a.tolist(), b.tolist())))
+        assert self.lsh_bands * self.lsh_rows == self.num_perm
+        assert self.simhash_bits % self.simhash_bands == 0
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,76 @@
+"""Mini-verify harness: mirrors the driver's correctness gate.
+
+For every registered query, run the Spark plan and the DuckDB oracle at
+sf=0.01 and compare row count, column names, and order-insensitive values.
+This is the same comparison the driver performs for CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from quarrycore_spark.plans.registry import REGISTRY
+from tests.conftest import SF_CORRECT
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c] if isinstance(r, dict) else r[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0 or (isinstance(v, float) and math.isnan(v)):
+                    v = None if math.isnan(v) else 0.0
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def compare_query(spark, name: str, sf_dir: str = SF_CORRECT):
+    q = REGISTRY[name]
+    oracle = q.oracle()
+    sdf = q.run_spark(spark, sf_dir)
+    cols = sorted(sdf.columns)
+    srows = [r.asDict() for r in sdf.collect()]
+    s_norm = normalize(srows, cols)
+    if oracle is None:
+        assert len(s_norm) >= 0  # rows-only check
+        return len(s_norm)
+    con = duck_con(sf_dir)
+    dres = con.sql(oracle)
+    dcols = sorted(dres.columns)
+    assert cols == dcols, f"{name}: column mismatch spark={cols} duck={dcols}"
+    drows = [dict(zip(dres.columns, row)) for row in dres.fetchall()]
+    d_norm = normalize(drows, dcols)
+    assert len(s_norm) == len(d_norm), (
+        f"{name}: row count spark={len(s_norm)} duck={len(d_norm)}"
+    )
+    mism = [i for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"spark={s_norm[mism[0]]} duck={d_norm[mism[0]]}"
+    )
+    return len(s_norm)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY.keys()))
+def test_oracle_parity(spark, name):
+    n = compare_query(spark, name)
+    print(f"{name}: {n} rows OK")
