@@ -175,6 +175,38 @@ def shingle_hashes60(shingles_expr: str, dialect: str) -> str:
     return _array_distinct(_transform(shingles_expr, lam, dialect), dialect)
 
 
+def band_hash_array(hashes_expr: str, cfg: DedupConfig, dialect: str) -> str:
+    """Array of all LSH band hashes for one doc."""
+    elems = ", ".join(band_hash(hashes_expr, cfg, i, dialect) for i in range(cfg.lsh_bands))
+    return f"array({elems})" if dialect == SPARK else f"[{elems}]"
+
+
+def posexplode(array_col: str, idx_name: str, val_name: str, dialect: str) -> str:
+    """SELECT-clause fragment exploding an array column to (idx, value) rows,
+    idx 0-based. Caller appends it after other projected columns."""
+    if dialect == SPARK:
+        return f"posexplode({array_col}) AS ({idx_name}, {val_name})"
+    return (
+        f"generate_subscripts({array_col}, 1) - 1 AS {idx_name}, "
+        f"unnest({array_col}) AS {val_name}"
+    )
+
+
+def sig_agreement(a_expr: str, b_expr: str, n: int, dialect: str) -> str:
+    """Number of equal slots between two n-element signature arrays —
+    the signature-Jaccard numerator (reference minhash_lsh.py:162-181 uses
+    fraction of equal permutation slots)."""
+    if dialect == SPARK:
+        return (
+            f"aggregate(zip_with({a_expr}, {b_expr}, (x, y) -> if(x = y, 1L, 0L)), "
+            f"0L, (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(0, {n}), "
+        f"i -> case when {a_expr}[i + 1] = {b_expr}[i + 1] then 1 else 0 end))"
+    )
+
+
 def xor(a: str, b: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"({a} ^ {b})"

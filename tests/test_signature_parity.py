@@ -1,0 +1,89 @@
+"""The Arrow signature operator must be bit-identical to the SQL dialect
+math used by the DuckDB oracle — this is the contract that makes the
+production path and the correctness gate the same computation."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from quarrycore_spark.config import DEFAULT_CONFIG as CFG
+from quarrycore_spark.functions import dialect as D
+from quarrycore_spark.operators.signatures import (
+    char_shingles,
+    doc_signature,
+    normalize_text,
+)
+
+EDGE_TEXTS = [
+    "Hello   World  foo bar baz quux longer text here",
+    "short",
+    "",
+    "\t\n  spaced \t out \n",
+    "ünïcode tëxt with  spaces and more padding here",
+    "a" * 6,
+    "exactly7",
+    "The quick brown fox jumps over the lazy dog. " * 5,
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_texts():
+    con = duckdb.connect()
+    rows = con.sql(
+        "select text from '/root/testdata/sf0.001/documents.parquet' limit 50"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def duck_signature(text: str):
+    con = duckdb.connect()
+    d = "duckdb"
+    nt = D.norm_text("t", d)
+    sql = f"""
+    WITH _n AS (SELECT ? AS t), _d AS (SELECT {nt} AS nt FROM _n),
+    _s AS (SELECT nt, {D.char_shingles('nt', CFG.shingle_size, d)} AS sh FROM _d),
+    _h AS (SELECT nt, {D.shingle_hashes31('sh', d)} AS hs,
+                      {D.shingle_hashes60('sh', d)} AS h60s FROM _s)
+    SELECT nt, {D.content_hash('nt', d)} AS ch,
+           {D.minhash_array('hs', CFG, d)} AS sig,
+           {D.band_hash_array('hs', CFG, d)} AS bands,
+           {D.simhash('h60s', CFG, d)} AS simhash
+    FROM _h
+    """
+    return con.execute(sql, [text]).fetchone()
+
+
+@pytest.mark.parametrize("text", EDGE_TEXTS)
+def test_edge_text_parity(text):
+    a = np.array([p[0] for p in CFG.minhash_perms], dtype=np.int64)
+    b = np.array([p[1] for p in CFG.minhash_perms], dtype=np.int64)
+    nt_sql, ch_sql, sig_sql, bands_sql, sim_sql = duck_signature(text)
+    assert normalize_text(text) == nt_sql
+    ch, sig, bands, sim = doc_signature(text, CFG, a, b)
+    assert ch == ch_sql
+    assert sig.tolist() == sig_sql
+    assert bands.tolist() == bands_sql
+    assert sim == sim_sql
+
+
+def test_corpus_sample_parity(corpus_texts):
+    a = np.array([p[0] for p in CFG.minhash_perms], dtype=np.int64)
+    b = np.array([p[1] for p in CFG.minhash_perms], dtype=np.int64)
+    for text in corpus_texts:
+        ch, sig, bands, sim = doc_signature(text, CFG, a, b)
+        _, ch_sql, sig_sql, bands_sql, sim_sql = duck_signature(text)
+        assert (ch, sig.tolist(), bands.tolist(), sim) == (
+            ch_sql,
+            sig_sql,
+            bands_sql,
+            sim_sql,
+        )
+
+
+def test_shingles_short_text_rule():
+    assert char_shingles("abc", 7) == ["abc"]
+    assert char_shingles("", 7) == [""]
+    assert char_shingles("exactly", 7) == ["exactly"]
+    assert char_shingles("exactly7", 7) == ["exactly", "xactly7"]
