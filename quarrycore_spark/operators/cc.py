@@ -1,0 +1,127 @@
+"""Connected-component cluster assignment via large-star / small-star
+label propagation (Kiveris et al., "Connected Components in MapReduce and
+Beyond") with per-iteration checkpointing and resume.
+
+Spark-native replacement for the reference's greedy one-hop clustering
+(minhash_lsh.py:224-241): the greedy grouping is order-dependent; CC is its
+order-independent fixpoint (SURVEY §2.3 D16). cluster_id = min doc_id in
+the component.
+
+Checkpointing: each iteration optionally writes the edge state to
+``{checkpoint_dir}/iter_{i}`` plus a ``manifest.json``; a killed run resumes
+from the last completed iteration (north-rule resumability). Without a
+checkpoint dir, ``localCheckpoint()`` truncates lineage in memory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CHECKSUM_P = 2305843009213693951
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(Γ(u) ∪ {u})."""
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("mv", "u").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low; connect each low neighbor and the high node to
+    the minimum low neighbor."""
+    dir_ = edges.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    ).filter(F.col("hi") != F.col("lo"))
+    mins = dir_.groupBy("hi").agg(F.min("lo").alias("m"))
+    relink = (
+        dir_.join(mins, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("u"), F.col("m").alias("v"))
+    )
+    star = mins.select(F.col("hi").alias("u"), F.col("m").alias("v"))
+    return relink.union(star).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.sum((F.col("u") * 31 + F.col("v")) % _CHECKSUM_P).alias("s"),
+    ).collect()[0]
+    return (row["n"] or 0, row["s"] or 0)
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iter: int = 50,
+    resume: bool = True,
+) -> DataFrame:
+    """edges(u,v) + vertices(id) → (doc_id, cluster_id).
+
+    cluster_id = min vertex id reachable; singletons map to themselves.
+    """
+    spark = edges.sparkSession
+    start_iter = 0
+    state = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+
+    manifest_path = os.path.join(checkpoint_dir, "manifest.json") if checkpoint_dir else None
+    if manifest_path and resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
+        start_iter = man["iteration"] + 1
+        state = spark.read.parquet(man["path"])
+        if man.get("converged"):
+            return _labels(state, vertices)
+
+    prev_sum = _checksum(state)
+    for it in range(start_iter, max_iter):
+        state = _small_star(_large_star(state))
+        if checkpoint_dir:
+            path = os.path.join(checkpoint_dir, f"iter_{it}")
+            state.write.mode("overwrite").parquet(path)
+            state = spark.read.parquet(path)
+        else:
+            state = state.localCheckpoint()
+        cur = _checksum(state)
+        converged = cur == prev_sum
+        if manifest_path:
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"iteration": it, "path": os.path.join(checkpoint_dir, f"iter_{it}"),
+                     "converged": converged, "edges": cur[0], "checksum": cur[1]},
+                    f,
+                )
+            os.replace(tmp, manifest_path)  # atomic, like the reference's
+            # checkpoint writes (utils/atomic.py)
+        if converged:
+            break
+        prev_sum = cur
+    return _labels(state, vertices)
+
+
+def _labels(star_edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Final star edges (child→root) + vertex set → full assignment."""
+    roots = star_edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    return (
+        vertices.select(F.col(vertices.columns[0]).alias("doc_id"))
+        .join(roots, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )

@@ -1,0 +1,72 @@
+"""SimHash Hamming-distance blocking — stage 3 of the dedup cascade.
+
+North-rule replacement for the reference's fuzzy near_exact/very_similar
+tiers (fuzzy_matcher.py:107-125, 200-211): a 60-bit SimHash over the same
+7-char shingles, paired by pigeonhole band blocking (hamming <= 3 over 4
+bands of 15 bits ⇒ at least one band equal) and verified with
+bit_count(xor) — pure JVM column expressions, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
+
+DEFAULT_BUCKET_CAP = 200
+
+
+def simhash_bands(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """sigs(doc_id, simhash) → (doc_id, simhash, band_idx, band_val)."""
+    width = cfg.simhash_bits // cfg.simhash_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            (F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)))
+            for i in range(cfg.simhash_bands)
+        ]
+    )
+    return sigs.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+
+
+def simhash_pairs(
+    sigs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """(a_id, b_id, hamming) for pairs at Hamming distance <= hamming_max."""
+    bx = simhash_bands(sigs, cfg)
+    keep = (
+        bx.groupBy("band_idx", "band_val")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= cap))
+        .drop("count")
+    )
+    bkt = bx.join(keep, ["band_idx", "band_val"])
+    a = bkt.alias("a")
+    b = bkt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= cfg.hamming_max)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -267,6 +267,332 @@ register(
 )
 
 
+# ---------------------------------------------------------------------------
+# Stage 3 — SimHash Hamming blocking (north-rule replacement for the
+# reference's fuzzy tiers, fuzzy_matcher.py:107-125, 200-211)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_prelude(dialect: str) -> str:
+    return (
+        f"{P.doc_norm(dialect, CFG)},\n{P.doc_shingles(dialect, CFG)},\n"
+        f"{P.doc_hashes60(dialect, CFG)},\n"
+        f"_sim AS (SELECT doc_id, {D.simhash('h60s', CFG, dialect)} AS simhash FROM _h60)"
+    )
+
+
+def _simhash_signatures(dialect: str) -> str:
+    return f"\nWITH {_simhash_prelude(dialect)}\nSELECT doc_id, simhash FROM _sim\n"
+
+
+def _spark_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sigs(spark, sf_dir).select("doc_id", "simhash")
+
+
+register(
+    Query(
+        "simhash_signatures",
+        "D10: 60-bit SimHash per doc",
+        _simhash_signatures,
+        spark_fn=_spark_simhash_signatures,
+    )
+)
+
+
+def _simhash_pairs_sql(dialect: str) -> str:
+    width = CFG.simhash_bits // CFG.simhash_bands
+    mask = (1 << width) - 1
+    bands = ", ".join(f"(simhash >> {i * width}) & {mask}" for i in range(CFG.simhash_bands))
+    bands_arr = f"array({bands})" if dialect == SPARK else f"[{bands}]"
+    ham = D.bit_count(D.xor("a.sim_a", "b.sim_a", dialect), dialect)
+    return f"""
+WITH {_simhash_prelude(dialect)},
+_bx AS (
+  SELECT doc_id, simhash AS sim_a,
+         {D.posexplode(bands_arr, 'band_idx', 'band_val', dialect)}
+  FROM _sim
+),
+_cap AS (
+  SELECT band_idx, band_val FROM _bx
+  GROUP BY band_idx, band_val HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}
+),
+_bkt AS (
+  SELECT b.* FROM _bx b JOIN _cap c
+    ON b.band_idx = c.band_idx AND b.band_val = c.band_val
+),
+_cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.sim_a AS sim_a, b.sim_a AS sim_b
+  FROM _bkt a JOIN _bkt b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, {D.bit_count(D.xor('sim_a', 'sim_b', dialect), dialect)} AS hamming
+FROM _cand
+WHERE {D.bit_count(D.xor('sim_a', 'sim_b', dialect), dialect)} <= {CFG.hamming_max}
+"""
+
+
+def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quarrycore_spark.operators.simhash import simhash_pairs
+
+    return simhash_pairs(_sigs(spark, sf_dir), CFG, LSH_BUCKET_CAP)
+
+
+register(
+    Query(
+        "simhash_pairs",
+        "D10/D12: SimHash Hamming<=3 pair detection via pigeonhole bands",
+        _simhash_pairs_sql,
+        spark_fn=_spark_simhash_pairs,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Stage 4 — long-common-substring overlap via L-gram equality
+# (north-rule replacement for difflib partial matches, fuzzy_matcher.py:213-236)
+# ---------------------------------------------------------------------------
+
+SUBSTR_L = CFG.min_overlap_small  # documents-table texts are ~300 chars
+
+
+def _substring_pairs_sql(dialect: str) -> str:
+    if dialect == SPARK:
+        grams = (
+            f"case when length(nt) < {SUBSTR_L} then array({D.hex_int('nt', 15, dialect)}) "
+            f"else array_distinct(transform(sequence(0, length(nt) - {SUBSTR_L}), "
+            f"i -> {D.hex_int(f'substring(nt, i + 1, {SUBSTR_L})', 15, dialect)})) end"
+        )
+        explode = "explode(grams) AS g"
+    else:
+        grams = (
+            f"case when length(nt) < {SUBSTR_L} then [{D.hex_int('nt', 15, dialect)}] "
+            f"else list_distinct(list_transform(range(0, length(nt) - {SUBSTR_L} + 1), "
+            f"i -> {D.hex_int(f'substr(nt, i + 1, {SUBSTR_L})', 15, dialect)})) end"
+        )
+        explode = "unnest(grams) AS g"
+    return f"""
+WITH {P.doc_norm(dialect, CFG)},
+_g AS (SELECT doc_id, {grams} AS grams FROM _docs),
+_gx AS (SELECT doc_id, {explode} FROM _g),
+_cap AS (SELECT g FROM _gx GROUP BY g HAVING count(*) BETWEEN 2 AND 200),
+_gk AS (SELECT x.doc_id, x.g FROM _gx x JOIN _cap c ON x.g = c.g)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_grams
+FROM _gk a JOIN _gk b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def _spark_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quarrycore_spark.operators.substring import gram_doc_pairs
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return gram_doc_pairs(docs, SUBSTR_L)
+
+
+register(
+    Query(
+        "substring_pairs",
+        "D13: common-substring(>=L) pair detection via L-gram join",
+        _substring_pairs_sql,
+        spark_fn=_spark_substring_pairs,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Clustering — connected components over the dedup edge graph
+# (reference greedy clustering minhash_lsh.py:224-241 → its CC fixpoint)
+# ---------------------------------------------------------------------------
+
+
+def _edges_sql(dialect: str) -> str:
+    """Edge CTEs: exact ∪ minhash-verified ∪ simhash pairs (as `_edges`)."""
+    thresh = CFG.num_perm * CFG.jaccard_threshold_pct
+    width = CFG.simhash_bits // CFG.simhash_bands
+    mask = (1 << width) - 1
+    bands = ", ".join(f"(simhash >> {i * width}) & {mask}" for i in range(CFG.simhash_bands))
+    bands_arr = f"array({bands})" if dialect == SPARK else f"[{bands}]"
+    return f"""{P.doc_norm(dialect, CFG)},
+{P.doc_shingles(dialect, CFG)},
+{P.doc_hashes31(dialect, CFG)},
+{P.doc_hashes60(dialect, CFG)},
+_sig AS (SELECT doc_id, {D.minhash_array('hs', CFG, dialect)} AS sig,
+         {D.band_hash_array('hs', CFG, dialect)} AS bands FROM _h),
+_sim AS (SELECT doc_id, {D.simhash('h60s', CFG, dialect)} AS simhash FROM _h60),
+_ex AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM _docs a JOIN _docs b
+    ON a.content_hash = b.content_hash AND a.doc_id < b.doc_id
+),
+_bx AS (SELECT doc_id, {D.posexplode('bands', 'band_idx', 'band_hash', dialect)} FROM _sig),
+_capm AS (SELECT band_idx, band_hash FROM _bx GROUP BY band_idx, band_hash
+          HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}),
+_bktm AS (SELECT b.doc_id, b.band_idx, b.band_hash FROM _bx b
+          JOIN _capm c ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash),
+_candm AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM _bktm a JOIN _bktm b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+_mh AS (
+  SELECT c.a_id AS u, c.b_id AS v FROM _candm c
+  JOIN _sig sa ON sa.doc_id = c.a_id JOIN _sig sb ON sb.doc_id = c.b_id
+  WHERE 100 * {D.sig_agreement('sa.sig', 'sb.sig', CFG.num_perm, dialect)} >= {thresh}
+),
+_sbx AS (SELECT doc_id, simhash, {D.posexplode(bands_arr, 'band_idx', 'band_val', dialect)} FROM _sim),
+_caps AS (SELECT band_idx, band_val FROM _sbx GROUP BY band_idx, band_val
+          HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}),
+_bkts AS (SELECT b.doc_id, b.simhash, b.band_idx, b.band_val FROM _sbx b
+          JOIN _caps c ON b.band_idx = c.band_idx AND b.band_val = c.band_val),
+_sh_pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM _bkts a JOIN _bkts b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE {D.bit_count(D.xor('a.simhash', 'b.simhash', dialect), dialect)} <= {CFG.hamming_max}
+),
+_edges AS (
+  SELECT u, v FROM _ex UNION SELECT u, v FROM _mh UNION SELECT u, v FROM _sh_pairs
+)"""
+
+
+def _dedup_clusters_sql(dialect: str) -> str:
+    """DuckDB-only oracle: transitive closure via recursive CTE. The Spark
+    side runs large-star/small-star label propagation (operators/cc.py)."""
+    return f"""
+WITH RECURSIVE {_edges_sql(dialect)},
+_sym AS (SELECT u, v FROM _edges UNION SELECT v AS u, u AS v FROM _edges),
+reach(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.v AS dst FROM reach r JOIN _sym s ON r.dst = s.u
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+def dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark edge graph: exact ∪ minhash-verified ∪ simhash pairs."""
+    from pyspark.sql import functions as F
+
+    from quarrycore_spark.operators.lsh import verified_pairs
+    from quarrycore_spark.operators.simhash import simhash_pairs
+
+    sigs = _sigs(spark, sf_dir)
+    s = sigs.select("doc_id", "content_hash")
+    ex = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    )
+    mh = verified_pairs(sigs, CFG, LSH_BUCKET_CAP).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )
+    sh = simhash_pairs(sigs, CFG, LSH_BUCKET_CAP).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )
+    return ex.union(mh).union(sh).distinct()
+
+
+def _spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quarrycore_spark.operators.cc import connected_components
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    edges = dedup_edges(spark, sf_dir)
+    return connected_components(edges, docs.select("doc_id"))
+
+
+register(
+    Query(
+        "dedup_clusters",
+        "D16: connected-component cluster assignment (large-star/small-star)",
+        _dedup_clusters_sql,
+        spark_fn=_spark_dedup_clusters,
+    )
+)
+
+
+def _dedup_labels_sql(dialect: str) -> str:
+    """D15: multi-level combine — per-doc is_duplicate + duplicate_type with
+    stage priority exact > minhash > simhash (deduplicator.py:380-390)."""
+    return f"""
+WITH {_edges_sql(dialect)},
+_exb AS (SELECT DISTINCT v FROM _ex),
+_mhb AS (SELECT DISTINCT v FROM _mh),
+_shb AS (SELECT DISTINCT v FROM _sh_pairs)
+SELECT d.doc_id,
+  CASE WHEN e.v IS NOT NULL THEN 'exact'
+       WHEN m.v IS NOT NULL THEN 'minhash'
+       WHEN s.v IS NOT NULL THEN 'simhash'
+       ELSE 'unique' END AS duplicate_type,
+  (e.v IS NOT NULL OR m.v IS NOT NULL OR s.v IS NOT NULL) AS is_duplicate
+FROM _docs d
+LEFT JOIN _exb e ON d.doc_id = e.v
+LEFT JOIN _mhb m ON d.doc_id = m.v
+LEFT JOIN _shb s ON d.doc_id = s.v
+"""
+
+
+def _spark_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from quarrycore_spark.operators.lsh import verified_pairs
+    from quarrycore_spark.operators.simhash import simhash_pairs
+
+    sigs = _sigs(spark, sf_dir)
+    s = sigs.select("doc_id", "content_hash")
+    ex = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("t_exact", F.lit(True))
+    )
+    mh = (
+        verified_pairs(sigs, CFG, LSH_BUCKET_CAP)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("t_minhash", F.lit(True))
+    )
+    sh = (
+        simhash_pairs(sigs, CFG, LSH_BUCKET_CAP)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("t_simhash", F.lit(True))
+    )
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    return (
+        docs.join(ex, "doc_id", "left")
+        .join(mh, "doc_id", "left")
+        .join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("t_exact"), "exact")
+            .when(F.col("t_minhash"), "minhash")
+            .when(F.col("t_simhash"), "simhash")
+            .otherwise("unique")
+            .alias("duplicate_type"),
+            F.coalesce(
+                F.col("t_exact") | F.col("t_minhash") | F.col("t_simhash"), F.lit(False)
+            ).alias("is_duplicate"),
+        )
+    )
+
+
+register(
+    Query(
+        "dedup_labels",
+        "D15: per-doc duplicate flag + stage-priority type",
+        _dedup_labels_sql,
+        spark_fn=_spark_dedup_labels,
+    )
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.run_spark for name, q in REGISTRY.items()}
 
