@@ -597,5 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.run_spark for name, q in REGISTRY.items()}
 
 
+# Registration side-effect modules (import at bottom to avoid cycles).
+from quarrycore_spark.plans import textops, vectorops  # noqa: E402,F401
+
+
 def oracles() -> dict[str, str]:
     return {name: q.oracle() for name, q in REGISTRY.items() if q.oracle() is not None}

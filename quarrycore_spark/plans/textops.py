@@ -1,0 +1,265 @@
+"""Text-analysis operators for training-data pipelines, as paired
+Spark/DuckDB queries over the `documents` table.
+
+Covers (SURVEY.md §2.2): P9 content metrics, P10/P11 quality scoring
+(integerized), P8 language-ID heuristic, D5 word tokenization, plus the
+training-data ops the graft adds: n-gram Jaccard dedup and document
+fingerprinting. Everything is built-in column expressions — no UDFs —
+so the hot path is whole-stage-codegen JVM in Spark.
+"""
+
+from __future__ import annotations
+
+from quarrycore_spark.config import DEFAULT_CONFIG as CFG
+from quarrycore_spark.functions import dialect as D
+from quarrycore_spark.functions.dialect import SPARK
+from quarrycore_spark.plans import prelude as P
+from quarrycore_spark.plans.registry import Query, register
+
+# --- tokenization / metrics -------------------------------------------------
+
+
+def _token_counts(dialect: str) -> str:
+    """P9: word/token counting — whitespace words, regex tokens (BPE-ish
+    pre-tokenizer split: alnum runs vs single punctuation), distinct words."""
+    if dialect == SPARK:
+        words = "split(nt, ' ')"
+        re_tokens = "size(regexp_extract_all(nt, '[a-z0-9]+|[^a-z0-9 ]', 0))"
+        uniq = "size(array_distinct(split(nt, ' ')))"
+        n_words = f"size({words})"
+    else:
+        words = "string_split(nt, ' ')"
+        re_tokens = "len(regexp_extract_all(nt, '[a-z0-9]+|[^a-z0-9 ]'))"
+        uniq = "len(list_distinct(string_split(nt, ' ')))"
+        n_words = f"len({words})"
+    return f"""
+WITH {P.doc_norm(dialect, CFG)}
+SELECT doc_id, length(nt) AS n_chars, {n_words} AS n_words,
+       {re_tokens} AS n_tokens, {uniq} AS n_distinct_words
+FROM _docs
+"""
+
+
+register(Query("token_counts", "P9/D5: token + word counting", _token_counts))
+
+
+def _text_quality(dialect: str) -> str:
+    """P11/P12 integerized: reference weights length 0.3, language 0.4,
+    coherence 0.3 with renormalization when a scorer is unavailable
+    (assessor.py:70-119) — coherence off ⇒ score = (30*len_ok + 40*lang_en)
+    * 100 / 70, lexical diversity as exact fraction (distinct, total)."""
+    if dialect == SPARK:
+        uniq = "size(array_distinct(split(nt, ' ')))"
+        n_words = "size(split(nt, ' '))"
+    else:
+        uniq = "len(list_distinct(string_split(nt, ' ')))"
+        n_words = "len(string_split(nt, ' '))"
+    len_ok = f"case when length(nt) > {CFG.min_text_len} then 1 else 0 end"
+    lang_en = "case when lang = 'en' then 1 else 0 end"
+    score = D.idiv(f"(30 * ({len_ok}) + 40 * ({lang_en})) * 100", "70", dialect)
+    return f"""
+WITH _docs AS (
+  SELECT doc_id, lang, {D.norm_text('text', dialect)} AS nt FROM documents
+)
+SELECT doc_id, length(nt) AS n_chars,
+       {uniq} AS distinct_words, {n_words} AS total_words,
+       {score} AS quality_scaled,
+       ({score}) >= {CFG.min_quality_scaled} AS is_accepted
+FROM _docs
+"""
+
+
+register(Query("text_quality", "P11/P12: integerized quality score + gate", _text_quality))
+
+
+# --- language id ------------------------------------------------------------
+
+_LANG_WORDLISTS = {
+    "en": ["the", "and", "of", "to", "in", "is", "data", "table", "key", "join"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+}
+
+
+def _lang_id(dialect: str) -> str:
+    """P8: stopword-vote language ID (n-gram-heuristic analogue of the
+    reference's fastText detector, language_detector.py — same contract:
+    top-1 vote with deterministic tie-break en>de>es>fr, 'und' if 0)."""
+    if dialect == SPARK:
+        words = "array_distinct(split(nt, ' '))"
+
+        def hits(lang):
+            lst = ", ".join(f"'{w}'" for w in _LANG_WORDLISTS[lang])
+            return f"size(array_intersect(ws, array({lst})))"
+    else:
+        words = "list_distinct(string_split(nt, ' '))"
+
+        def hits(lang):
+            lst = ", ".join(f"'{w}'" for w in _LANG_WORDLISTS[lang])
+            return f"len(list_intersect(ws, [{lst}]))"
+
+    langs = list(_LANG_WORDLISTS)
+    vote_cols = ", ".join(f"{hits(lg)} AS v_{lg}" for lg in langs)
+    clauses = []
+    for lg in langs:
+        conds = [f"v_{lg} > 0"] + [f"v_{lg} >= v_{o}" for o in langs if o != lg]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    best = " ".join(clauses)
+    return f"""
+WITH {P.doc_norm(dialect, CFG)},
+_w AS (SELECT doc_id, {words} AS ws FROM _docs),
+_v AS (SELECT doc_id, {vote_cols} FROM _w)
+SELECT doc_id, CASE {best} ELSE 'und' END AS lang_guess,
+       v_en, v_de, v_es, v_fr
+FROM _v
+"""
+
+
+register(Query("lang_id", "P8: stopword-vote language identification", _lang_id))
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+FP_K = 16
+_FP_MOD = 1000000007
+
+
+def _doc_fingerprints(dialect: str) -> str:
+    """Document fingerprinting (winnowing-lite): distinct 16-gram 60-bit
+    hashes reduced to (min, count, sum mod p) — a compact sketch for
+    containment screening."""
+    if dialect == SPARK:
+        grams = (
+            f"case when length(nt) < {FP_K} then array({D.hex_int('nt', 15, dialect)}) "
+            f"else array_distinct(transform(sequence(0, length(nt) - {FP_K}), "
+            f"i -> {D.hex_int(f'substring(nt, i + 1, {FP_K})', 15, dialect)})) end"
+        )
+        agg = (
+            f"array_min(gs) AS fp_min, size(gs) AS fp_cnt, "
+            f"aggregate(transform(gs, g -> g % {_FP_MOD}), 0L, (a, x) -> a + x) AS fp_sum"
+        )
+    else:
+        grams = (
+            f"case when length(nt) < {FP_K} then [{D.hex_int('nt', 15, dialect)}] "
+            f"else list_distinct(list_transform(range(0, length(nt) - {FP_K} + 1), "
+            f"i -> {D.hex_int(f'substr(nt, i + 1, {FP_K})', 15, dialect)})) end"
+        )
+        agg = (
+            f"list_min(gs) AS fp_min, len(gs) AS fp_cnt, "
+            f"list_sum(list_transform(gs, g -> g % {_FP_MOD}))::BIGINT AS fp_sum"
+        )
+    return f"""
+WITH {P.doc_norm(dialect, CFG)},
+_g AS (SELECT doc_id, {grams} AS gs FROM _docs)
+SELECT doc_id, {agg} FROM _g
+"""
+
+
+register(Query("doc_fingerprints", "rolling-hash document fingerprints", _doc_fingerprints))
+
+
+# --- n-gram Jaccard dedup ---------------------------------------------------
+
+TRIGRAM_CAP = 200
+TRIGRAM_THRESHOLD_PCT = 60
+
+
+def _trigram_jaccard_pairs(dialect: str) -> str:
+    """Exact word-trigram Jaccard dedup: pairs with |A∩B|/|A∪B| >= 0.6,
+    reported as exact integer (inter_cnt, union_cnt). The n-gram analogue of
+    the reference's tokenizer modes (minhash_lsh.py:105-123) with exact
+    verification instead of signatures."""
+    if dialect == SPARK:
+        words = "split(nt, ' ')"
+        gram_str = "concat_ws(' ', slice(ws, i, 3))"
+        tg = (
+            f"case when size(ws) < 3 then array({D.hex_int('nt', 15, dialect)}) "
+            f"else array_distinct(transform(sequence(1, size(ws) - 2), "
+            f"i -> {D.hex_int(gram_str, 15, dialect)})) end"
+        )
+        explode = "explode(tg) AS g"
+        sz = "size(tg)"
+    else:
+        words = "string_split(nt, ' ')"
+        gram_str = "array_to_string(ws[i:i+2], ' ')"
+        tg = (
+            f"case when len(ws) < 3 then [{D.hex_int('nt', 15, dialect)}] "
+            f"else list_distinct(list_transform(range(1, len(ws) - 1), "
+            f"i -> {D.hex_int(gram_str, 15, dialect)})) end"
+        )
+        explode = "unnest(tg) AS g"
+        sz = "len(tg)"
+    return f"""
+WITH {P.doc_norm(dialect, CFG)},
+_w AS (SELECT doc_id, {words} AS ws, nt FROM _docs),
+_t AS (SELECT doc_id, {tg} AS tg FROM _w),
+_sz AS (SELECT doc_id, {sz} AS n_g FROM _t),
+_gx AS (SELECT doc_id, {explode} FROM _t),
+_cap AS (SELECT g FROM _gx GROUP BY g HAVING count(*) BETWEEN 2 AND {TRIGRAM_CAP}),
+_gk AS (SELECT x.doc_id, x.g FROM _gx x JOIN _cap c ON x.g = c.g),
+_int AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter_cnt
+  FROM _gk a JOIN _gk b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_id, i.b_id, i.inter_cnt,
+       sa.n_g + sb.n_g - i.inter_cnt AS union_cnt
+FROM _int i
+JOIN _sz sa ON sa.doc_id = i.a_id
+JOIN _sz sb ON sb.doc_id = i.b_id
+WHERE 100 * i.inter_cnt >= {TRIGRAM_THRESHOLD_PCT} * (sa.n_g + sb.n_g - i.inter_cnt)
+"""
+
+
+register(
+    Query(
+        "trigram_jaccard_pairs",
+        "exact word-trigram Jaccard >= 0.6 dedup pairs (integer fraction)",
+        _trigram_jaccard_pairs,
+    )
+)
+
+
+# --- sessionization over events (window functions) --------------------------
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _event_sessions(dialect: str) -> str:
+    """Sessionization: split each user's event stream at >30-min gaps —
+    the batch analogue of the reference's sliding-window domain-failure
+    tracking (pipeline.py:66-110); pure window functions."""
+    # Spark 4 reads parquet timestamps as TIMESTAMP_NTZ; session TZ is pinned
+    # to UTC so casting matches DuckDB's naive epoch_ms exactly.
+    ep = "unix_millis(cast(ts as timestamp))" if dialect == SPARK else "epoch_ms(ts)"
+    return f"""
+WITH _e AS (SELECT user_id, event_id, {ep} AS ts_ms FROM events),
+_g AS (
+  SELECT user_id, event_id, ts_ms,
+         CASE WHEN ts_ms - lag(ts_ms) OVER w > {SESSION_GAP_MS}
+                OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM _e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+_s AS (
+  SELECT user_id, event_id, ts_ms,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM _g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+FROM _s
+GROUP BY user_id, session_idx
+"""
+
+
+register(
+    Query(
+        "event_sessions",
+        "window-function sessionization of the events stream",
+        _event_sessions,
+        tables=("events",),
+    )
+)

@@ -1,0 +1,207 @@
+"""Embedding similarity / ANN operators over the `embeddings` table.
+
+The scale story for embedding-cosine near-dup detection and similarity
+search (the semantic level the reference implements with FAISS,
+semantic_dedup.py:211-396, re-expressed as joins):
+
+* brute-force quantized-cosine pairs / top-k — the correctness baseline;
+* random-hyperplane LSH bucketing — the 100TB path: candidates only from
+  equal 16-bit signatures, then exact verify.
+
+Determinism contract: embeddings are quantized to int (floor(x*1000+0.5))
+and every similarity comparison is exact int64 arithmetic — cosine
+thresholds become `dot>0 AND T²·dot² >= cos²·na·nb` integer predicates, and
+top-k scores are scaled integer divisions computed on non-negative
+numerators (so Spark `div` and DuckDB `//` agree).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quarrycore_spark.functions.dialect import SPARK
+from quarrycore_spark.plans.registry import Query, register
+
+DIM = 64
+QUANT = 1000
+ANN_K = 10
+QUERY_STRIDE = 50  # vec_id % 50 == 0 are the top-k query points
+# The driver's synthetic embeddings are near-isotropic (max pairwise cosine
+# ≈0.51), so thresholds are calibrated to produce non-vacuous result sets.
+PAIR_COS_PCT = 30  # embedding near-dup threshold (cos >= 0.30)
+LSH_BANDS = 4      # banded hyperplane LSH: candidate iff any band matches
+LSH_PLANES_PER_BAND = 4
+LSH_COS_PCT = 30
+
+
+def _qvec(dialect: str) -> str:
+    """Quantized embedding CTE `_qv`: vec_id, q (array<bigint>), na (norm²)."""
+    if dialect == SPARK:
+        q = "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))"
+        na = "aggregate(transform(q, x -> x * x), 0L, (a, v) -> a + v)"
+    else:
+        q = "list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT)"
+        na = "list_sum(list_transform(q, x -> x * x))::BIGINT"
+    return (
+        f"_q0 AS (SELECT vec_id, {q} AS q FROM embeddings),\n"
+        f"_qv AS (SELECT vec_id, q, {na} AS na FROM _q0)"
+    )
+
+
+def _dot(a: str, b: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    return f"list_sum(list_transform(range(0, {DIM}), i -> {a}[i + 1] * {b}[i + 1]))::BIGINT"
+
+
+def _embedding_norms(dialect: str) -> str:
+    """Quantized norm² per vector — the cheap sanity/monitoring projection."""
+    return f"\nWITH {_qvec(dialect)}\nSELECT vec_id, na AS norm_sq FROM _qv\n"
+
+
+register(
+    Query(
+        "embedding_norms",
+        "quantized embedding norms (similarity-search base)",
+        _embedding_norms,
+        tables=("embeddings",),
+    )
+)
+
+
+def _embedding_dup_pairs(dialect: str) -> str:
+    """D14 analogue: all vector pairs with cosine >= 0.9, exact integer
+    predicate 100·dot² >= 81·na·nb (dot>0). Brute-force all-pairs — the
+    correctness baseline the LSH path is measured against."""
+    dot = _dot("a.q", "b.q", dialect)
+    return f"""
+WITH {_qvec(dialect)},
+_p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {dot} AS dot, a.na AS na, b.na AS nb
+  FROM _qv a JOIN _qv b ON a.vec_id < b.vec_id
+  WHERE a.na > 0 AND b.na > 0
+)
+SELECT a_id, b_id, dot, na, nb FROM _p
+WHERE dot > 0 AND 10000 * dot * dot >= {PAIR_COS_PCT * PAIR_COS_PCT} * na * nb
+"""
+
+
+register(
+    Query(
+        "embedding_dup_pairs",
+        "embedding-cosine >= 0.9 near-dup pairs (brute force, integer-exact)",
+        _embedding_dup_pairs,
+        tables=("embeddings",),
+    )
+)
+
+
+def _ann_topk(dialect: str) -> str:
+    """Brute-force cosine top-k: for every stride-sampled query vector, the
+    10 nearest neighbors by quantized cosine. Score = sign(dot) ·
+    (dot²·10⁵ intdiv na·nb), division always on non-negative ints."""
+    dot = _dot("q1.q", "e.q", dialect)
+    div = "div" if dialect == SPARK else "//"
+    return f"""
+WITH {_qvec(dialect)},
+_s AS (
+  SELECT q1.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {dot} AS dot, q1.na AS na, e.na AS nb
+  FROM _qv q1 JOIN _qv e
+    ON e.vec_id != q1.vec_id
+  WHERE q1.vec_id % {QUERY_STRIDE} = 0 AND q1.na > 0 AND e.na > 0
+),
+_sc AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN dot < 0 THEN -(((dot * dot) * 100000) {div} (na * nb))
+              ELSE ((dot * dot) * 100000) {div} (na * nb) END AS score_q
+  FROM _s
+),
+_r AS (
+  SELECT query_id, neighbor_id, score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, neighbor_id) AS rnk
+  FROM _sc
+)
+SELECT query_id, neighbor_id, score_q, rnk FROM _r WHERE rnk <= {ANN_K}
+"""
+
+
+register(
+    Query(
+        "ann_topk",
+        "brute-force cosine top-10 per sampled query vector",
+        _ann_topk,
+        tables=("embeddings",),
+    )
+)
+
+
+def _planes() -> np.ndarray:
+    rng = np.random.RandomState(7)
+    n = LSH_BANDS * LSH_PLANES_PER_BAND
+    return rng.randint(-500, 501, size=(n, DIM)).astype(np.int64)
+
+
+def _ann_lsh_pairs(dialect: str) -> str:
+    """Banded random-hyperplane LSH near-dup pairs — the scale path:
+    candidates come only from (band_idx, band_sig) bucket collisions
+    (any of 4 bands of 4 sign bits matching), then exact quantized-cosine
+    verification. At 10^12 rows this is an explode + groupBy/equi-join on
+    the band signature — never an all-pairs product."""
+    planes = _planes()
+    band_exprs = []
+    for band in range(LSH_BANDS):
+        terms = []
+        for j in range(LSH_PLANES_PER_BAND):
+            coeffs = ", ".join(str(c) for c in planes[band * LSH_PLANES_PER_BAND + j])
+            if dialect == SPARK:
+                pdot = (
+                    f"aggregate(zip_with(array({coeffs}), q, (x, y) -> x * y), "
+                    f"0L, (acc, v) -> acc + v)"
+                )
+            else:
+                pdot = (
+                    f"list_sum(list_transform(range(0, {DIM}), "
+                    f"i -> ([{coeffs}])[i + 1] * q[i + 1]))::BIGINT"
+                )
+            terms.append(f"case when ({pdot}) > 0 then {1 << j} else 0 end")
+        band_exprs.append("(" + " + ".join(terms) + ")")
+    bands_arr = (
+        f"array({', '.join(band_exprs)})"
+        if dialect == SPARK
+        else f"[{', '.join(band_exprs)}]"
+    )
+    from quarrycore_spark.functions import dialect as D
+
+    dot = _dot("a.q", "b.q", dialect)
+    return f"""
+WITH {_qvec(dialect)},
+_sig AS (SELECT vec_id, q, na,
+         {D.posexplode(bands_arr, 'band_idx', 'band_sig', dialect)}
+         FROM _qv WHERE na > 0),
+_cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM _sig a JOIN _sig b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.vec_id < b.vec_id
+),
+_qq AS (SELECT vec_id, q, na FROM _qv),
+_p AS (
+  SELECT c.a_id, c.b_id, {dot} AS dot, a.na AS na, b.na AS nb
+  FROM _cand c JOIN _qq a ON a.vec_id = c.a_id JOIN _qq b ON b.vec_id = c.b_id
+)
+SELECT a_id, b_id, dot, na, nb FROM _p
+WHERE dot > 0 AND 10000 * dot * dot >= {LSH_COS_PCT * LSH_COS_PCT} * na * nb
+"""
+
+
+register(
+    Query(
+        "ann_lsh_pairs",
+        "hyperplane-LSH bucketed cosine >= 0.8 pairs (scale path)",
+        _ann_lsh_pairs,
+        tables=("embeddings",),
+    )
+)
