@@ -1,0 +1,137 @@
+"""HTML canonicalization + cascade main-content extraction.
+
+From-scratch reimplementation of the semantics of the reference's
+CanonicalHTMLProcessor (src/quarrycore/dedup/canonical.py:50-172) and its
+extraction cascade (src/quarrycore/extractor/manager.py:119-237 with the
+trafilatura/readability/soup tiers): decode bytes utf-8 errors='replace'
+(the exact rule at pipeline.py:638), drop script/style/comment subtrees,
+strip tags, unescape entities, collapse whitespace, trim. The container
+image has none of the reference's C-backed HTML libs (selectolax, bs4,
+trafilatura), so the regex fallback path — which the reference itself
+ships for exactly this situation (canonical.py:127-153) — is the
+implementation, written fresh.
+
+These are pure deterministic functions (golden-fixture testable without
+Spark) wrapped in Arrow-batched UDFs for the pipeline.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_SCRIPT = re.compile(r"<script\b[^>]*>.*?</script\s*>", re.I | re.S)
+_STYLE = re.compile(r"<style\b[^>]*>.*?</style\s*>", re.I | re.S)
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
+# chrome removed with content by the extraction tier (not by canonicalize):
+_CHROME = re.compile(
+    r"<(nav|header|footer|aside|noscript)\b[^>]*>.*?</\1\s*>", re.I | re.S
+)
+_TITLE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.I | re.S)
+_TAG = re.compile(r"<[^>]+>")
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def decode_html(raw: bytes) -> str:
+    """The reference's exact decode rule (pipeline.py:638)."""
+    return raw.decode("utf-8", errors="replace")
+
+
+def canonicalize_html(raw: bytes | str) -> str:
+    """Canonical text for exact-dup hashing: equivalent HTML (whitespace
+    runs, comments, script/style, entity encodings) must map to equal
+    output (reference test_canonical_html.py invariants, incl. idempotency)."""
+    s = raw if isinstance(raw, str) else decode_html(raw)
+    s = _SCRIPT.sub(" ", s)
+    s = _STYLE.sub(" ", s)
+    s = _COMMENT.sub(" ", s)
+    s = _TAG.sub(" ", s)
+    s = _html.unescape(s)
+    return _WS.sub(" ", s).strip()
+
+
+def extract_title(raw: bytes | str) -> str | None:
+    s = raw if isinstance(raw, str) else decode_html(raw)
+    m = _TITLE.search(s)
+    if not m:
+        return None
+    t = _WS.sub(" ", _html.unescape(_TAG.sub(" ", m.group(1)))).strip()
+    return t or None
+
+
+def extract_main_text(raw: bytes | str) -> str:
+    """Main-content extraction: chrome subtrees (nav/header/footer/aside/
+    noscript) removed with their content — the soup-tier selector semantics
+    (soup_extractor.py:94-176) — plus head (title goes to its own column)."""
+    s = raw if isinstance(raw, str) else decode_html(raw)
+    s = _SCRIPT.sub(" ", s)
+    s = _STYLE.sub(" ", s)
+    s = _COMMENT.sub(" ", s)
+    s = re.sub(r"<head\b[^>]*>.*?</head\s*>", " ", s, flags=re.I | re.S)
+    prev = None
+    while prev != s:  # nested chrome elements
+        prev = s
+        s = _CHROME.sub(" ", s)
+    s = _TAG.sub(" ", s)
+    s = _html.unescape(s)
+    return _WS.sub(" ", s).strip()
+
+
+def quality_score_scaled(text: str, lang: str | None) -> int:
+    """Integerized reference quality formula (assessor.py:70-119 with the
+    transformer scorer absent → renormalized over length 0.3 + language 0.4):
+    (30·[len>400] + 40·[lang=en]) · 100 / 70, in [0, 100]."""
+    len_ok = 1 if len(text) > 400 else 0
+    lang_en = 1 if lang == "en" else 0
+    return (30 * len_ok + 40 * lang_en) * 100 // 70
+
+
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, canonical_text string, "
+    "extracted_text string, title string, quality_scaled int, extract_error string"
+)
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, lang, ...) → extraction columns.
+
+    Per-row failures never kill the job: errors land in `extract_error`
+    (dead-letter semantics of the reference's per-stage circuit breaker,
+    pipeline.py:858-877) and the row survives with empty text.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            canon, extracted, titles, quality, errors = [], [], [], [], []
+            for raw, lang in zip(pdf["html"], pdf["lang"]):
+                try:
+                    c = canonicalize_html(raw)
+                    t = extract_main_text(raw)
+                    ti = extract_title(raw)
+                    q = quality_score_scaled(t, lang)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — dead-letter, not crash
+                    c, t, ti, q, err = "", "", None, 0, f"{type(e).__name__}: {e}"
+                canon.append(c)
+                extracted.append(t)
+                titles.append(ti)
+                quality.append(q)
+                errors.append(err)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "canonical_text": canon,
+                    "extracted_text": extracted,
+                    "title": titles,
+                    "quality_scaled": pd.array(quality, dtype="int32"),
+                    "extract_error": errors,
+                }
+            )
+
+    return pages.mapInPandas(compute, schema=EXTRACT_SCHEMA)

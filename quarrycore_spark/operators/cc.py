@@ -21,7 +21,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_CHECKSUM_P = 2305843009213693951
+# 31-bit modulus: per-edge term <= 32*2^31 and the sum stays far inside
+# int64 even at 10^9 edges; ids may be full-range (negative) xxhash64 values,
+# hence pmod.
+_CHECKSUM_P = (1 << 31) - 1
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -55,9 +58,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
+    term = (F.pmod(F.col("u"), F.lit(_CHECKSUM_P)) * 31
+            + F.pmod(F.col("v"), F.lit(_CHECKSUM_P))) % _CHECKSUM_P
     row = edges.select(
-        F.count("*").alias("n"),
-        F.sum((F.col("u") * 31 + F.col("v")) % _CHECKSUM_P).alias("s"),
+        F.count("*").alias("n"), F.sum(term).alias("s")
     ).collect()[0]
     return (row["n"] or 0, row["s"] or 0)
 

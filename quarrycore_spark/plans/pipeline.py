@@ -1,0 +1,243 @@
+"""The end-to-end dedup pipeline — Spark-native expression of the
+reference's Pipeline.run (src/quarrycore/pipeline.py:584-853):
+
+    pages ──extract──▶ docs ──exact──▶ survivors ──signatures──▶
+      LSH verified pairs ∪ SimHash pairs ──CC──▶ clusters ──▶
+      docs_dedup + clusters + metrics + lineage tables
+
+Differences by design (SURVEY §3.1 "Spark translation"):
+* per-URL asyncio stages become whole-corpus DataFrame stages;
+* the mutable hash/LSH stores become groupBy + self-joins;
+* checkpoint/resume = stage-output parquet + an atomic JSON manifest
+  (the reference's PipelineCheckpoint, pipeline.py:990-1033) — a killed
+  run resumes after the last completed stage;
+* exact-dup edges are emitted as STARS (member→group-canonical), not
+  member×member cliques: O(n) edges instead of O(n²) per group, same
+  connected components.
+
+Run it standalone:
+    spark-submit --py-files quarrycore_spark.zip -m quarrycore_spark.plans.pipeline \
+        (or: python -m quarrycore_spark.plans.pipeline OUT_DIR [N_PAGES])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
+from quarrycore_spark.extraction.canonical import extract_pages
+from quarrycore_spark.operators.cc import connected_components
+from quarrycore_spark.operators.lsh import verified_pairs
+from quarrycore_spark.operators.signatures import with_signatures
+from quarrycore_spark.operators.simhash import simhash_pairs
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    clusters: DataFrame
+    metrics: list[dict]
+    lineage: DataFrame
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def _load_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"stages": {}}
+
+
+def _save_manifest(out_dir: str, man: dict) -> None:
+    p = _manifest_path(out_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, p)  # atomic (reference utils/atomic.py semantics)
+
+
+def _stage(spark, out_dir, man, name, builder, resume=True) -> DataFrame:
+    """Run one stage with checkpoint/resume: if the manifest records the
+    stage as complete, read its parquet instead of recomputing."""
+    path = os.path.join(out_dir, name)
+    if resume and name in man["stages"]:
+        return spark.read.parquet(man["stages"][name]["path"])
+    t0 = time.time()
+    df = builder()
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    man["stages"][name] = {
+        "path": path,
+        "rows": out.count(),
+        "wall_s": round(time.time() - t0, 3),
+    }
+    _save_manifest(out_dir, man)
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+    min_overlap: int | None = None,
+) -> PipelineResult:
+    os.makedirs(out_dir, exist_ok=True)
+    man = _load_manifest(out_dir) if resume else {"stages": {}}
+
+    # ---- stage 1: extraction (P1-P6, P11) -------------------------------
+    extracted = _stage(
+        spark, out_dir, man, "extracted",
+        lambda: extract_pages(pages).withColumn("doc_id", F.xxhash64("url")),
+        resume,
+    )
+
+    # ---- stage 2: exact dedup (D1, D2) ----------------------------------
+    def build_exact():
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("content_hash").orderBy("warc_ts", "url")
+        return (
+            extracted.withColumn("content_hash", F.sha2("canonical_text", 256))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("is_exact_canonical", F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    docs = _stage(spark, out_dir, man, "exact", build_exact, resume)
+
+    # exact star edges: member → group-canonical (same CC as the clique)
+    canon = docs.filter("is_exact_canonical").select(
+        "content_hash", F.col("doc_id").alias("canon_id")
+    )
+    exact_edges = (
+        docs.filter(~F.col("is_exact_canonical"))
+        .select("content_hash", "doc_id")
+        .join(canon, "content_hash")
+        .select(F.col("doc_id").alias("u"), F.col("canon_id").alias("v"))
+    )
+
+    # ---- stage 3: signatures on exact survivors (D4-D7, D10) ------------
+    # short-circuit semantics of the reference (hybrid_dedup.py:146-171):
+    # near-dup detection only runs on docs that survived the exact layer.
+    survivors = docs.filter("is_exact_canonical").select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+    sigs = _stage(
+        spark, out_dir, man, "signatures",
+        lambda: with_signatures(survivors, cfg), resume,
+    )
+
+    # ---- stage 4: near-dup pair generation (D7-D10) ----------------------
+    mh_pairs = _stage(
+        spark, out_dir, man, "minhash_pairs",
+        lambda: verified_pairs(sigs, cfg), resume,
+    )
+    sh_pairs = _stage(
+        spark, out_dir, man, "simhash_pairs",
+        lambda: simhash_pairs(sigs, cfg), resume,
+    )
+
+    # ---- stage 5: connected components (D16) -----------------------------
+    edges = (
+        exact_edges.union(mh_pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")))
+        .union(sh_pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")))
+        .distinct()
+    )
+    clusters = _stage(
+        spark, out_dir, man, "clusters",
+        lambda: connected_components(
+            edges, docs.select("doc_id"),
+            checkpoint_dir=os.path.join(out_dir, "cc"), resume=resume,
+        ),
+        resume,
+    )
+
+    # ---- stage 6: final labeled docs table (D15, D17) ---------------------
+    def build_final():
+        mh_b = mh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_mh", F.lit(True))
+        sh_b = sh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_sh", F.lit(True))
+        return (
+            docs.join(clusters, "doc_id", "left")
+            .join(mh_b, "doc_id", "left")
+            .join(sh_b, "doc_id", "left")
+            .select(
+                "doc_id", "url", "warc_ts", "lang", "content_hash",
+                "extracted_text", "title", "quality_scaled", "extract_error",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                F.when(~F.col("is_exact_canonical"), "exact")
+                .when(F.col("t_mh"), "minhash")
+                .when(F.col("t_sh"), "simhash")
+                .otherwise("unique")
+                .alias("duplicate_type"),
+                (
+                    ~F.col("is_exact_canonical")
+                    | F.coalesce("t_mh", F.lit(False))
+                    | F.coalesce("t_sh", F.lit(False))
+                ).alias("is_duplicate"),
+            )
+        )
+
+    final = _stage(spark, out_dir, man, "docs_dedup", build_final, resume)
+
+    # ---- lineage: per-partition row counts per stage (north-rule lineage) --
+    def lineage_of(df: DataFrame, stage: str) -> DataFrame:
+        return (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .select(F.lit(stage).alias("stage"), "partition_id", F.col("count").alias("rows"))
+        )
+
+    lineage = (
+        lineage_of(extracted, "extracted")
+        .union(lineage_of(sigs, "signatures"))
+        .union(lineage_of(mh_pairs, "minhash_pairs"))
+        .union(lineage_of(sh_pairs, "simhash_pairs"))
+        .union(lineage_of(final, "docs_dedup"))
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
+
+    metrics = [
+        {"stage": k, **v} for k, v in man["stages"].items()
+    ]
+    total = final.count()
+    dups = final.filter("is_duplicate").count()
+    metrics.append(
+        {
+            "stage": "summary", "total_docs": total, "duplicate_docs": dups,
+            "dedup_ratio_pct": (100 * dups) // max(total, 1),
+        }
+    )
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    return PipelineResult(final, clusters, metrics, lineage)
+
+
+def main() -> None:
+    import sys
+
+    from quarrycore_spark.session import ensure_py_files, get_spark
+    from quarrycore_spark.sources.corpus import generate_pages, pages_dataframe
+
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/quarrycore_pipeline"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    spark = get_spark("quarrycore-pipeline")
+    ensure_py_files(spark)
+    pages = pages_dataframe(spark, generate_pages(n))
+    res = run_pipeline(spark, pages, out_dir)
+    print(json.dumps(res.metrics, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""End-to-end pipeline tests: byte-identical extraction, canonicalization
+invariants (ported semantics of the reference's test_canonical_html.py and
+test_deduplication.py), and dup-pair recall >= 0.99 against an
+arrival-order reference simulator that mirrors QuarryCore's
+HybridDeduplicator semantics (hybrid_dedup.py:131-226: exact-first
+short-circuit, then LSH query-before-insert in arrival order)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from quarrycore_spark.config import DEFAULT_CONFIG as CFG
+from quarrycore_spark.extraction.canonical import (
+    canonicalize_html,
+    extract_main_text,
+    extract_title,
+)
+from quarrycore_spark.operators.signatures import doc_signature
+from quarrycore_spark.plans.pipeline import run_pipeline
+from quarrycore_spark.sources.corpus import generate_pages, pages_dataframe
+
+N_PAGES = 400
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(N_PAGES, seed=SEED)
+
+
+# ---------------------------------------------------------------------------
+# extraction / canonicalization (pure functions — no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+def test_extraction_byte_identical(corpus):
+    """The input_hint per-row invariant: extracted text == ground truth,
+    byte for byte, for every url."""
+    for r in corpus:
+        assert extract_main_text(r.html) == r.text, r.url
+
+
+def test_canonicalization_group_equality(corpus):
+    """Equivalent HTML (whitespace runs, comments, entities, attribute
+    noise) must canonicalize identically (test_canonical_html.py:43-181)."""
+    groups: dict[int, set] = {}
+    for r in corpus:
+        if r.population in ("exact", "canon"):
+            groups.setdefault(r.group_id, set()).add(canonicalize_html(r.html))
+    assert groups, "corpus should contain dup groups"
+    for gid, canon_set in groups.items():
+        assert len(canon_set) == 1, f"group {gid} canonicalized inconsistently"
+
+
+def test_canonicalization_idempotent_and_entities():
+    h = b"<html><body><p>a &amp; b &#97;nd   c</p><script>x</script></body></html>"
+    once = canonicalize_html(h)
+    assert once == "a & b and c"
+    assert canonicalize_html(once) == once  # idempotency (canonical.py:110)
+    assert canonicalize_html(b"<p>unclosed <b>tags") == "unclosed tags"
+    assert extract_title(b"<title>T &amp; t</title>") == "T & t"
+    # invalid utf-8 → errors='replace' rule (pipeline.py:638)
+    assert canonicalize_html(b"<p>ok\xff</p>").startswith("ok")
+
+
+# ---------------------------------------------------------------------------
+# reference-semantics simulator (arrival-order, query-before-insert)
+# ---------------------------------------------------------------------------
+
+
+def simulate_reference(corpus):
+    """Single-node mirror of the reference dedup kernel: exact sha256 layer
+    with first-writer-wins, then MinHash-LSH query-then-insert per arrival,
+    signature-agreement verify at threshold. Returns the dup pair set
+    (earlier_url, later_url) ... as doc indexes in arrival order."""
+    a = np.array([p[0] for p in CFG.minhash_perms], dtype=np.int64)
+    b = np.array([p[1] for p in CFG.minhash_perms], dtype=np.int64)
+    order = sorted(range(len(corpus)), key=lambda i: (corpus[i].warc_ts, corpus[i].url))
+    hash_first: dict[str, int] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    sigs: dict[int, np.ndarray] = {}
+    pairs = set()
+    for i in order:
+        r = corpus[i]
+        canon = canonicalize_html(r.html)
+        ch, sig, bands, _ = doc_signature(canon, CFG, a, b)
+        if ch in hash_first:
+            pairs.add((hash_first[ch], i, "exact"))
+            continue
+        hash_first[ch] = i
+        # near-dup over extracted text (reference uses the text layer)
+        _, sig, bands, _ = doc_signature(r.text, CFG, a, b)
+        cands = set()
+        for bi, bh in enumerate(bands):
+            cands.update(buckets.get((bi, int(bh)), ()))
+        for j in cands:
+            agree = int((sigs[j] == sig).sum())
+            if agree * 100 >= CFG.num_perm * CFG.jaccard_threshold_pct:
+                pairs.add((j, i, "minhash"))
+        sigs[i] = sig
+        for bi, bh in enumerate(bands):
+            buckets.setdefault((bi, int(bh)), []).append(i)
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    pages = pages_dataframe(spark, corpus)
+    return run_pipeline(spark, pages, out), out
+
+
+def test_pipeline_recall_vs_reference(spark, corpus, pipeline_result):
+    """North-rule gate: dup-pair recall >= 0.99 vs the reference semantics
+    under identical shingle/permutation/threshold config."""
+    res, _ = pipeline_result
+    ref_pairs = simulate_reference(corpus)
+    assert ref_pairs, "simulator should find duplicates in this corpus"
+
+    clusters = {r["doc_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    import pyspark.sql.functions as F
+
+    url_to_id = {
+        r["url"]: r["doc_id"]
+        for r in res.docs.select("url", "doc_id").collect()
+    }
+    found = 0
+    for i, j, _stage in ref_pairs:
+        di, dj = url_to_id[corpus[i].url], url_to_id[corpus[j].url]
+        if clusters[di] == clusters[dj]:
+            found += 1
+    recall = found / len(ref_pairs)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99 ({found}/{len(ref_pairs)})"
+
+
+def test_borderline_pairs_not_merged(corpus, pipeline_result, spark):
+    """False-positive guard: 20-35%-substituted pairs must NOT share a
+    cluster (FIXTURES population 5)."""
+    res, _ = pipeline_result
+    clusters = {r["doc_id"]: r["cluster_id"] for r in res.docs.select("doc_id", "cluster_id").collect()}
+    url_to_id = {r["url"]: r["doc_id"] for r in res.docs.select("url", "doc_id").collect()}
+    groups: dict[int, list] = {}
+    for r in corpus:
+        if r.population == "borderline":
+            groups.setdefault(r.group_id, []).append(url_to_id[r.url])
+    merged = sum(
+        1 for ids in groups.values() if len(ids) == 2 and clusters[ids[0]] == clusters[ids[1]]
+    )
+    assert merged == 0, f"{merged}/{len(groups)} borderline pairs wrongly merged"
+
+
+def test_pipeline_resume_identical(spark, corpus, pipeline_result):
+    """Re-running with resume=True must reuse every stage (manifest) and
+    produce the identical docs_dedup table."""
+    res, out = pipeline_result
+    first = sorted(map(tuple, res.docs.select("doc_id", "cluster_id", "duplicate_type").collect()))
+    pages = pages_dataframe(spark, corpus)
+    res2 = run_pipeline(spark, pages, out, resume=True)
+    second = sorted(map(tuple, res2.docs.select("doc_id", "cluster_id", "duplicate_type").collect()))
+    assert first == second
+
+
+def test_pipeline_lineage_and_metrics(pipeline_result):
+    res, _ = pipeline_result
+    stages = {m["stage"] for m in res.metrics}
+    assert {"extracted", "exact", "signatures", "minhash_pairs",
+            "simhash_pairs", "clusters", "docs_dedup", "summary"} <= stages
+    summary = next(m for m in res.metrics if m["stage"] == "summary")
+    assert summary["total_docs"] == N_PAGES
+    assert 0 < summary["duplicate_docs"] < N_PAGES
+    lin = res.lineage.collect()
+    assert sum(r["rows"] for r in lin if r["stage"] == "docs_dedup") == N_PAGES
