@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+1. per-query wall seconds for the headline registry queries;
+2. dedup-pipeline throughput (docs/sec) on a generated pages corpus;
+3. N-vs-4N scaling: the same pipeline job on the same input at
+   local[N] and local[4N] in separate JVMs, reporting both throughputs
+   and efficiency = (T_N / T_4N) / 4  (>= 0.8 target, BASELINE.md).
+
+Set SPARK_GRAFT_BENCH_FAST=1 to skip the scaling subprocesses (CI smoke).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+# Scaling evidence (N vs 4N): this sandbox serializes first-touch page
+# faults machine-wide, which caps *overhead* scaling; the measurement is
+# made compute-bound by replicating the corpus Spark-side (factor below)
+# and comparing local[2] vs local[8] — see BENCH.md.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "32"))
+
+HEADLINE = [
+    "exact_dedup",
+    "dedup_survivors",
+    "minhash_signatures",
+    "minhash_verified_pairs",
+    "simhash_pairs",
+    "substring_pairs",
+    "trigram_jaccard_pairs",
+    "dedup_clusters",
+    "token_counts",
+    "doc_fingerprints",
+    "event_sessions",
+    "embedding_dup_pairs",
+    "ann_topk",
+    "ann_lsh_pairs",
+]
+
+
+def main() -> None:
+    from quarrycore_spark.plans import registry
+    from quarrycore_spark.session import ensure_py_files, get_spark
+
+    spark = get_spark("qc-bench", cores=CPUS, shuffle_partitions=CPUS)
+    ensure_py_files(spark)
+
+    t_total0 = time.time()
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.REGISTRY[name]
+        t0 = time.time()
+        df = q.run_spark(spark, SF_DIR)
+        n = df.count()  # materialize the full plan
+        queries[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {queries[name]}s", file=sys.stderr)
+
+    # --- pipeline throughput on a deterministic pages corpus ----------------
+    import shutil
+    import tempfile
+
+    from quarrycore_spark.plans.pipeline import run_pipeline
+    from quarrycore_spark.sources.corpus import generate_pages, pages_dataframe
+
+    pages_dir = tempfile.mkdtemp(prefix="qc_bench_pages_")
+    out_dir = tempfile.mkdtemp(prefix="qc_bench_out_")
+    pages_df = pages_dataframe(spark, generate_pages(BENCH_PAGES, seed=42))
+    pages_path = os.path.join(pages_dir, "pages")
+    pages_df.repartition(CPUS).write.mode("overwrite").parquet(pages_path)
+
+    t0 = time.time()
+    run_pipeline(spark, spark.read.parquet(pages_path), out_dir, resume=False)
+    pipe_wall = time.time() - t0
+    pipe_dps = BENCH_PAGES / pipe_wall
+    print(f"# pipeline: {BENCH_PAGES} docs in {pipe_wall:.1f}s = {pipe_dps:.1f} docs/s",
+          file=sys.stderr)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # scale corpus for the N-vs-4N runs (Spark-side replication)
+    scale_path = os.path.join(pages_dir, "pages_scale")
+    scale_docs = 0
+    if os.environ.get("SPARK_GRAFT_BENCH_FAST") != "1":
+        from quarrycore_spark.sources.corpus import replicate_pages
+
+        scaled = replicate_pages(spark, spark.read.parquet(pages_path), SCALE_FACTOR)
+        scaled.repartition(CPUS * 4).write.mode("overwrite").parquet(scale_path)
+        scale_docs = spark.read.parquet(scale_path).count()
+        print(f"# scale corpus: {scale_docs} docs", file=sys.stderr)
+    spark.stop()
+
+    # --- N vs 4N scaling (separate JVMs) ------------------------------------
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_FAST") != "1":
+        runs = {}
+        for cores in (SCALE_N, SCALE_N * 4):
+            p = subprocess.run(
+                [sys.executable, "-m", "quarrycore_spark.plans.bench_pipeline",
+                 str(cores), scale_path],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+                timeout=3600,
+            )
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+            runs[cores] = json.loads(line)
+            print(f"# scale local[{cores}]: {runs[cores]}", file=sys.stderr)
+        t_n = runs[SCALE_N]["wall_s"]
+        t_4n = runs[SCALE_N * 4]["wall_s"]
+        scaling = {
+            "docs": scale_docs,
+            "cores_n": SCALE_N,
+            "cores_4n": SCALE_N * 4,
+            "wall_s_n": t_n,
+            "wall_s_4n": t_4n,
+            "docs_per_sec_n": runs[SCALE_N]["docs_per_sec"],
+            "docs_per_sec_4n": runs[SCALE_N * 4]["docs_per_sec"],
+            "efficiency": round((t_n / t_4n) / 4, 3),
+        }
+    shutil.rmtree(pages_dir, ignore_errors=True)
+
+    result = {
+        "metric": "dedup_bench_total",
+        "value": round(time.time() - t_total0, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "pipeline_docs_per_sec": round(pipe_dps, 2),
+        "pipeline_docs": BENCH_PAGES,
+        "pipeline_wall_s": round(pipe_wall, 3),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

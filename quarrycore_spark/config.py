@@ -39,12 +39,13 @@ class DedupConfig:
     # --- MinHash (reference contract: num_perm=128, threshold=0.85)
     num_perm: int = 128
     jaccard_threshold_pct: int = 85  # integer percent — exact arithmetic
-    # LSH banding: bands * rows_per_band == num_perm. (16, 8) is the optimal
+    # LSH banding: bands * rows_per_band == num_perm. (8, 16) is the optimal
     # integration-derived split for threshold 0.85 / 128 perms with equal
-    # FP/FN weights (same objective as datasketch minhash_lsh.py:68-72 in
-    # the reference's dependency); see tests/test_lsh_params.py.
-    lsh_bands: int = 16
-    lsh_rows: int = 8
+    # FP/FN weights — the same objective datasketch's MinHashLSH solves for
+    # the reference (minhash_lsh.py:68-72); pinned by
+    # tests/test_datasketch_compat.py::test_optimal_param_matches_config.
+    lsh_bands: int = 8
+    lsh_rows: int = 16
     # --- SimHash stage (north-rule replacement for the reference's fuzzy
     # near_exact/very_similar tiers, fuzzy_matcher.py:200-211)
     simhash_bits: int = 60         # 15 hex chars of md5 → fits int64 signed

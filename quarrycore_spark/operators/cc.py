@@ -79,7 +79,12 @@ def connected_components(
     """
     spark = edges.sparkSession
     start_iter = 0
-    state = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+    # Truncate the (possibly expensive) input lineage before iterating:
+    # each star round + checksum would otherwise re-evaluate it.
+    state = (
+        edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+        .localCheckpoint()
+    )
 
     manifest_path = os.path.join(checkpoint_dir, "manifest.json") if checkpoint_dir else None
     if manifest_path and resume and os.path.exists(manifest_path):
@@ -92,7 +97,13 @@ def connected_components(
 
     prev_sum = _checksum(state)
     for it in range(start_iter, max_iter):
-        state = _small_star(_large_star(state))
+        # size the iteration to the edge count: a dup-pair graph is tiny
+        # relative to the corpus, and 32-task jobs over a few thousand
+        # edges are pure scheduler overhead
+        n_parts = max(1, min(
+            spark.sparkContext.defaultParallelism, prev_sum[0] // 100_000 + 1
+        ))
+        state = _small_star(_large_star(state)).coalesce(n_parts)
         if checkpoint_dir:
             path = os.path.join(checkpoint_dir, f"iter_{it}")
             state.write.mode("overwrite").parquet(path)

@@ -24,14 +24,14 @@ def band_buckets(sigs: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     boilerplate — dropped deterministically, counted in lineage)."""
     bx = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
-    )
+    ).persist()  # cap filter + both self-join sides reuse it
     keep = (
         bx.groupBy("band_idx", "band_hash")
         .count()
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .drop("count")
     )
-    return bx.join(keep, ["band_idx", "band_hash"])
+    return bx.join(keep, ["band_idx", "band_hash"]).persist()
 
 
 def candidate_pairs(sigs: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:

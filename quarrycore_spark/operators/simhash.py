@@ -38,14 +38,14 @@ def simhash_pairs(
     cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """(a_id, b_id, hamming) for pairs at Hamming distance <= hamming_max."""
-    bx = simhash_bands(sigs, cfg)
+    bx = simhash_bands(sigs, cfg).persist()
     keep = (
         bx.groupBy("band_idx", "band_val")
         .count()
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .drop("count")
     )
-    bkt = bx.join(keep, ["band_idx", "band_val"])
+    bkt = bx.join(keep, ["band_idx", "band_val"]).persist()
     a = bkt.alias("a")
     b = bkt.alias("b")
     cand = (

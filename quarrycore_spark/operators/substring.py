@@ -44,6 +44,7 @@ def gram_doc_pairs(
     grams = (
         docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM).alias("nt"))
         .select("doc_id", F.explode(F.expr(_gram_hashes_expr(l_gram))).alias("g"))
+        .persist()  # referenced by the cap filter AND both join sides
     )
     keep = (
         grams.groupBy("g")
@@ -51,7 +52,7 @@ def gram_doc_pairs(
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .drop("count")
     )
-    gk = grams.join(keep, "g")
+    gk = grams.join(keep, "g").persist()
     a = gk.alias("a")
     b = gk.alias("b")
     return (

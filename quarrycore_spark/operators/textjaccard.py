@@ -1,0 +1,57 @@
+"""Word-trigram exact-Jaccard dedup as a DataFrame operator.
+
+Same semantics/constants as the SQL in plans/textops.py (which serves as
+the DuckDB oracle); this implementation persists the exploded gram table so
+the cap-filter, the self-join, and the size lookups share one computation
+instead of re-deriving the trigram arrays per reference (Catalyst inlines
+multi-referenced CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quarrycore_spark.functions import dialect as D
+from quarrycore_spark.functions.dialect import SPARK
+
+_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+
+
+def trigram_jaccard_pairs(
+    docs: DataFrame, threshold_pct: int, cap: int,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    gram_str = "concat_ws(' ', slice(ws, i, 3))"
+    tg_expr = (
+        f"case when size(ws) < 3 then array({D.hex_int('nt', 15, SPARK)}) "
+        f"else array_distinct(transform(sequence(1, size(ws) - 2), "
+        f"i -> {D.hex_int(gram_str, 15, SPARK)})) end"
+    )
+    t = (
+        docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM.replace("text", text_col)).alias("nt"))
+        .withColumn("ws", F.split("nt", " "))
+        .select("doc_id", F.expr(tg_expr).alias("tg"))
+        .persist()
+    )
+    sz = t.select("doc_id", F.size("tg").alias("n_g"))
+    gx = t.select("doc_id", F.explode("tg").alias("g"))
+    keep = (
+        gx.groupBy("g").count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= cap))
+        .drop("count")
+    )
+    gk = gx.join(keep, "g").persist()
+    inter = (
+        gk.alias("a")
+        .join(gk.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_g", "n_a"), "a_id")
+        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_g", "n_b"), "b_id")
+        .withColumn("union_cnt", F.col("n_a") + F.col("n_b") - F.col("inter_cnt"))
+        .filter(F.col("inter_cnt") * 100 >= threshold_pct * F.col("union_cnt"))
+        .select("a_id", "b_id", "inter_cnt", "union_cnt")
+    )

@@ -97,9 +97,14 @@ def run_pipeline(
     man = _load_manifest(out_dir) if resume else {"stages": {}}
 
     # ---- stage 1: extraction (P1-P6, P11) -------------------------------
+    # spread the (CPU-bound) extraction across all cores even when the
+    # input has few parquet splits
+    par = spark.sparkContext.defaultParallelism
     extracted = _stage(
         spark, out_dir, man, "extracted",
-        lambda: extract_pages(pages).withColumn("doc_id", F.xxhash64("url")),
+        lambda: extract_pages(pages.repartition(par)).withColumn(
+            "doc_id", F.xxhash64("url")
+        ),
         resume,
     )
 
@@ -136,7 +141,9 @@ def run_pipeline(
     )
     sigs = _stage(
         spark, out_dir, man, "signatures",
-        lambda: with_signatures(survivors, cfg), resume,
+        # "poly" = the vectorized rolling-hash family (signatures.py) —
+        # same shingle/permutation/banding structure, ~300× cheaper per doc
+        lambda: with_signatures(survivors, cfg, family="poly"), resume,
     )
 
     # ---- stage 4: near-dup pair generation (D7-D10) ----------------------

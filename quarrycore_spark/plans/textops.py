@@ -212,11 +212,20 @@ WHERE 100 * i.inter_cnt >= {TRIGRAM_THRESHOLD_PCT} * (sa.n_g + sb.n_g - i.inter_
 """
 
 
+def _spark_trigram_jaccard(spark, sf_dir):
+    from quarrycore_spark.operators.textjaccard import trigram_jaccard_pairs
+    from quarrycore_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return trigram_jaccard_pairs(docs, TRIGRAM_THRESHOLD_PCT, TRIGRAM_CAP)
+
+
 register(
     Query(
         "trigram_jaccard_pairs",
         "exact word-trigram Jaccard >= 0.6 dedup pairs (integer fraction)",
         _trigram_jaccard_pairs,
+        spark_fn=_spark_trigram_jaccard,
     )
 )
 

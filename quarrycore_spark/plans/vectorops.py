@@ -87,11 +87,19 @@ WHERE dot > 0 AND 10000 * dot * dot >= {PAIR_COS_PCT * PAIR_COS_PCT} * na * nb
 """
 
 
+def _spark_embedding_dup_pairs(spark, sf_dir):
+    from quarrycore_spark.operators.ann import embedding_dup_pairs
+    from quarrycore_spark.sources.tables import load
+
+    return embedding_dup_pairs(load(spark, sf_dir, "embeddings")["embeddings"])
+
+
 register(
     Query(
         "embedding_dup_pairs",
-        "embedding-cosine >= 0.9 near-dup pairs (brute force, integer-exact)",
+        "embedding-cosine near-dup pairs (brute force, integer-exact)",
         _embedding_dup_pairs,
+        spark_fn=_spark_embedding_dup_pairs,
         tables=("embeddings",),
     )
 )
@@ -128,11 +136,19 @@ SELECT query_id, neighbor_id, score_q, rnk FROM _r WHERE rnk <= {ANN_K}
 """
 
 
+def _spark_ann_topk(spark, sf_dir):
+    from quarrycore_spark.operators.ann import ann_topk
+    from quarrycore_spark.sources.tables import load
+
+    return ann_topk(load(spark, sf_dir, "embeddings")["embeddings"])
+
+
 register(
     Query(
         "ann_topk",
         "brute-force cosine top-10 per sampled query vector",
         _ann_topk,
+        spark_fn=_spark_ann_topk,
         tables=("embeddings",),
     )
 )
@@ -197,11 +213,19 @@ WHERE dot > 0 AND 10000 * dot * dot >= {LSH_COS_PCT * LSH_COS_PCT} * na * nb
 """
 
 
+def _spark_ann_lsh_pairs(spark, sf_dir):
+    from quarrycore_spark.operators.ann import ann_lsh_pairs
+    from quarrycore_spark.sources.tables import load
+
+    return ann_lsh_pairs(load(spark, sf_dir, "embeddings")["embeddings"])
+
+
 register(
     Query(
         "ann_lsh_pairs",
-        "hyperplane-LSH bucketed cosine >= 0.8 pairs (scale path)",
+        "hyperplane-LSH bucketed cosine pairs (scale path)",
         _ann_lsh_pairs,
+        spark_fn=_spark_ann_lsh_pairs,
         tables=("embeddings",),
     )
 )

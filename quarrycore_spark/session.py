@@ -67,6 +67,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let AQE re-coalesce partitions downstream of persisted plans —
+        # without this, a cached exploded-bands table pins shuffle-partition
+        # count and small-data joins drown in per-task overhead
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # read small test parquet with enough splits to use all cores
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

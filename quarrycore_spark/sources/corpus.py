@@ -176,6 +176,36 @@ def pages_dataframe(spark, rows: list[PageRow]):
     return spark.createDataFrame(data, schema)
 
 
+def replicate_pages(spark, base, factor: int):
+    """Scale a pages DataFrame by `factor` for throughput benchmarking:
+    each replica gets distinct urls and per-row word-shuffled text (so
+    replicas are NOT near-duplicates of each other and every doc costs the
+    pipeline full extraction + signature work). Spark-side — scales to
+    millions of rows in seconds, unlike the driver-side generator.
+
+    Note: F.shuffle is non-deterministic per task attempt — fine for a
+    throughput corpus, not for correctness fixtures (use generate_pages).
+    """
+    from pyspark.sql import functions as F
+
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    shuffled = F.concat_ws(" ", F.shuffle(F.split(F.col("text"), " ")))
+    return (
+        base.crossJoin(reps)
+        .select(
+            F.concat_ws("-r", "url", "rep").alias("url"),
+            "warc_ts",
+            F.concat(
+                F.lit(b"<html><head><title>t</title></head><body><p>"),
+                F.encode(shuffled, "utf-8"),
+                F.lit(b"</p></body></html>"),
+            ).alias("html"),
+            shuffled.alias("text"),
+            "lang",
+        )
+    )
+
+
 def write_pages(spark, path: str, n: int = 500, seed: int = 42, hot_share: float = 0.3):
     """Write the corpus as parquet partitioned the way the warm tier is in
     the reference (domain-derived partitioning, config.py:90-93)."""

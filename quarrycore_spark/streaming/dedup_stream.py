@@ -1,0 +1,82 @@
+"""Structured Streaming dedup — the streaming expression of the batch
+pipeline (SURVEY §2.10): the reference is an asyncio stream of documents;
+at Spark scale the same semantics are
+
+* exact dedup within watermark: ``dropDuplicates`` on the content hash
+  after the extraction UDF (bounded state, late data dropped by watermark);
+* cross-batch exact dedup: ``foreachBatch`` incrementally maintaining a
+  seen-hashes parquet state table — the streaming analogue of the
+  reference's SQLite INSERT-or-fail store (hash_db.py:81-105), with
+  first-writer-wins preserved by batch ordering.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quarrycore_spark.extraction.canonical import extract_pages
+
+
+def streaming_exact_dedup(
+    pages_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Within-watermark exact dedup: one row per (content hash) per window.
+
+    Works on any streaming pages source (file, kafka, rate). State is
+    bounded by the watermark — the scale-safe default for unbounded input.
+    """
+    extracted = extract_pages(pages_stream)
+    hashed = extracted.withColumn("content_hash", F.sha2("canonical_text", 256))
+    return (
+        hashed.withWatermark("warc_ts", watermark)
+        .dropDuplicates(["content_hash"])
+    )
+
+
+class ForeachBatchDedup:
+    """Cross-batch exact dedup with a persistent seen-hash state table.
+
+    Each micro-batch: canonicalize+hash, drop rows whose hash exists in the
+    state table (left-anti join), select first-per-hash within the batch by
+    (warc_ts, url), append survivors to the output and their hashes to the
+    state. Exactly-once per epoch_id via idempotent overwrite-by-epoch dirs.
+    """
+
+    def __init__(self, state_dir: str, out_dir: str):
+        self.state_dir = state_dir
+        self.out_dir = out_dir
+        os.makedirs(state_dir, exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _state(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.state_dir)
+        except Exception:  # noqa: BLE001 — empty state on first batch
+            return None
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        spark = batch.sparkSession
+        hashed = (
+            extract_pages(batch)
+            .withColumn("content_hash", F.sha2("canonical_text", 256))
+        )
+        state = self._state(spark)
+        if state is not None:
+            hashed = hashed.join(
+                state.select("content_hash"), "content_hash", "left_anti"
+            )
+        w = W.partitionBy("content_hash").orderBy("warc_ts", "url")
+        firsts = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        firsts.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"epoch={epoch_id}")
+        )
+        firsts.select("content_hash").write.mode("append").parquet(self.state_dir)

@@ -84,13 +84,14 @@ def simulate_reference(corpus):
     for i in order:
         r = corpus[i]
         canon = canonicalize_html(r.html)
-        ch, sig, bands, _ = doc_signature(canon, CFG, a, b)
+        ch, sig, bands, _ = doc_signature(canon, CFG, a, b, family="poly")
         if ch in hash_first:
             pairs.add((hash_first[ch], i, "exact"))
             continue
         hash_first[ch] = i
-        # near-dup over extracted text (reference uses the text layer)
-        _, sig, bands, _ = doc_signature(r.text, CFG, a, b)
+        # near-dup over extracted text (reference uses the text layer);
+        # same signature family as the pipeline under test
+        _, sig, bands, _ = doc_signature(r.text, CFG, a, b, family="poly")
         cands = set()
         for bi, bh in enumerate(bands):
             cands.update(buckets.get((bi, int(bh)), ()))

@@ -82,6 +82,32 @@ def test_corpus_sample_parity(corpus_texts):
         )
 
 
+def test_poly_family_properties():
+    """The vectorized pipeline family: deterministic, near-dup-sensitive."""
+    a = np.array([p[0] for p in CFG.minhash_perms], dtype=np.int64)
+    b = np.array([p[1] for p in CFG.minhash_perms], dtype=np.int64)
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "hazy", 3)
+    diff = "completely unrelated content with other words entirely " * 20
+    ch1, s1, bd1, sm1 = doc_signature(base, CFG, a, b, family="poly")
+    ch2, s2, _, _ = doc_signature(base, CFG, a, b, family="poly")
+    assert (s1 == s2).all() and ch1 == ch2  # deterministic
+    _, sn, _, smn = doc_signature(near, CFG, a, b, family="poly")
+    _, sd, _, smd = doc_signature(diff, CFG, a, b, family="poly")
+    agree_near = (s1 == sn).mean()
+    agree_diff = (s1 == sd).mean()
+    assert agree_near > 0.8 > agree_diff, (agree_near, agree_diff)
+    ham_near = bin(sm1 ^ smn).count("1")
+    ham_diff = bin(sm1 ^ smd).count("1")
+    assert ham_near < 15 <= ham_diff, (ham_near, ham_diff)
+    # content hash identical across families (sha256 of normalized text)
+    ch_md5, *_ = doc_signature(base, CFG, a, b, family="md5")
+    assert ch1 == ch_md5
+    # short/empty text degenerates cleanly
+    for t in ("", "ab", "exactly"):
+        doc_signature(t, CFG, a, b, family="poly")
+
+
 def test_shingles_short_text_rule():
     assert char_shingles("abc", 7) == ["abc"]
     assert char_shingles("", 7) == [""]

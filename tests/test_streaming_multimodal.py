@@ -1,0 +1,130 @@
+"""Streaming dedup + multimodal plumbing + exporter tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quarrycore_spark.sources.corpus import generate_pages, pages_dataframe
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_pages") / "pages")
+    rows = generate_pages(200, seed=7)
+    pages_dataframe(spark, rows).write.mode("overwrite").parquet(path)
+    return path, rows
+
+
+def test_streaming_watermark_dedup(spark, pages_parquet, tmp_path):
+    from quarrycore_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    path, rows = pages_parquet
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select count(*) n, count(distinct content_hash) d from dedup_out").collect()[0]
+    expected_hashes = (
+        static.selectExpr("sha2(lower(trim(regexp_replace(cast(html as string), '<[^>]+>|\\\\s+', ' '))), 256)")
+    )
+    # one row per distinct content hash, no duplicates in the output
+    assert got["n"] == got["d"]
+    assert got["n"] < len(rows)  # corpus contains dup groups
+
+
+def test_foreach_batch_cross_batch_dedup(spark, pages_parquet, tmp_path):
+    from quarrycore_spark.streaming.dedup_stream import ForeachBatchDedup
+
+    path, rows = pages_parquet
+    static = spark.read.parquet(path)
+    halves = static.randomSplit([0.5, 0.5], seed=1)
+    sink = ForeachBatchDedup(str(tmp_path / "state"), str(tmp_path / "out"))
+    # drive two "micro-batches" directly (deterministic, no stream race)
+    sink(halves[0], 0)
+    sink(halves[1], 1)
+    out = spark.read.parquet(str(tmp_path / "out" / "epoch=*"))
+    n = out.count()
+    d = out.select("content_hash").distinct().count()
+    assert n == d, "a hash emitted twice across batches"
+    # equals batch-mode exact dedup of the full corpus
+    from quarrycore_spark.extraction.canonical import extract_pages
+
+    full = (
+        extract_pages(static)
+        .withColumn("content_hash", F.sha2("canonical_text", 256))
+        .select("content_hash")
+        .distinct()
+        .count()
+    )
+    assert n == full
+
+
+def test_multimodal_features_and_dedup(spark):
+    from quarrycore_spark.multimodal.stubs import (
+        exact_media_dedup,
+        extract_media_features,
+        real_decode,
+    )
+
+    data = [
+        (1, "image", bytearray(b"PNG-fake-bytes-1"), ("image/png", 4, 4, None)),
+        (2, "image", bytearray(b"PNG-fake-bytes-1"), ("image/png", 4, 4, None)),  # dup
+        (3, "audio", bytearray(b"WAV-fake-bytes-2"), ("audio/wav", None, None, 1200)),
+        (4, "video", None, ("video/mp4", 16, 16, 5000)),  # null payload
+    ]
+    media = spark.createDataFrame(
+        data,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    feats = extract_media_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["sha256"] == by_id[2]["sha256"]
+    assert by_id[1]["feature"] == by_id[2]["feature"]
+    assert by_id[1]["sha256"] != by_id[3]["sha256"]
+    assert len(by_id[1]["feature"]) == 16
+    assert all(r["decode_error"] is None for r in feats)
+
+    dedup = {r["sha256"]: r for r in exact_media_dedup(
+        extract_media_features(media)).collect()}
+    assert dedup[by_id[1]["sha256"]]["group_size"] == 2
+    assert dedup[by_id[1]["sha256"]]["canonical_media_id"] == 1
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image/png")
+
+
+def test_exporters(spark, tmp_path):
+    from quarrycore_spark.sources.export import (
+        export_jsonl,
+        export_parquet,
+        quality_top_n,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", i % 100) for i in range(500)],
+        "doc_id long, text string, quality_scaled int",
+    )
+    jp = str(tmp_path / "jsonl")
+    export_jsonl(df, jp)
+    assert glob.glob(os.path.join(jp, "*.json.gz"))
+    assert spark.read.json(jp).count() == 500
+
+    pp = str(tmp_path / "parq")
+    export_parquet(df, pp, shard_size=100)
+    assert spark.read.parquet(pp).count() == 500
+
+    top = quality_top_n(df, 10).collect()
+    assert len(top) == 10 and all(r["quality_scaled"] == 99 for r in top[:5])
