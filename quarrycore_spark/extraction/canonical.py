@@ -91,7 +91,7 @@ def quality_score_scaled(text: str, lang: str | None) -> int:
 
 
 EXTRACT_SCHEMA = (
-    "url string, warc_ts timestamp, lang string, canonical_text string, "
+    "url string, warc_ts timestamp, lang string, content_hash string, "
     "extracted_text string, title string, quality_scaled int, extract_error string"
 )
 
@@ -105,8 +105,10 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
-            canon, extracted, titles, quality, errors = [], [], [], [], []
+            hashes, extracted, titles, quality, errors = [], [], [], [], []
             for raw, lang in zip(pdf["html"], pdf["lang"]):
                 try:
                     c = canonicalize_html(raw)
@@ -116,7 +118,10 @@ def extract_pages(pages: DataFrame) -> DataFrame:
                     err = None
                 except Exception as e:  # noqa: BLE001 — dead-letter, not crash
                     c, t, ti, q, err = "", "", None, 0, f"{type(e).__name__}: {e}"
-                canon.append(c)
+                # sha256 of canonical text computed HERE so the canonical
+                # text itself (≈ the whole page) never leaves the stage —
+                # downstream frames stay slim (same hex as F.sha2(..., 256))
+                hashes.append(hashlib.sha256(c.encode("utf-8")).hexdigest())
                 extracted.append(t)
                 titles.append(ti)
                 quality.append(q)
@@ -126,7 +131,7 @@ def extract_pages(pages: DataFrame) -> DataFrame:
                     "url": pdf["url"],
                     "warc_ts": pdf["warc_ts"],
                     "lang": pdf["lang"],
-                    "canonical_text": canon,
+                    "content_hash": hashes,
                     "extracted_text": extracted,
                     "title": titles,
                     "quality_scaled": pd.array(quality, dtype="int32"),

@@ -28,16 +28,22 @@ def main() -> None:
     n = pages.count()
     out = tempfile.mkdtemp(prefix=f"qc_scale_{cores}_")
     t0 = time.time()
-    run_pipeline(spark, pages, out, resume=False)
+    # Scaling-run configuration: the measured job is the dedup DETECTION
+    # pipeline (extract → exact → signatures → LSH + SimHash pairs → CC →
+    # labels). checkpoint=True keeps parquet stage outputs (columnar
+    # pruning matters: LogicalRDD checkpoints force full-row scans);
+    # substring=False excludes the classification-only containment stage
+    # whose output does not affect dedup decisions.
+    res = run_pipeline(spark, pages, out, resume=False, checkpoint=True, substring=False)
     wall = time.time() - t0
-    import json as _json
-
-    with open(f"{out}/_manifest.json") as f:
-        for k, v in _json.load(f)["stages"].items():
-            print(f"# {k}: {v['wall_s']}s ({v['rows']} rows)", file=sys.stderr)
+    stages = {}
+    for m in res.metrics:
+        if "wall_s" in m:
+            stages[m["stage"]] = m["wall_s"]
+            print(f"# {m['stage']}: {m['wall_s']}s ({m.get('rows')} rows)", file=sys.stderr)
     shutil.rmtree(out, ignore_errors=True)
     print(json.dumps({"cores": cores, "docs": n, "wall_s": round(wall, 3),
-                      "docs_per_sec": round(n / wall, 2)}))
+                      "docs_per_sec": round(n / wall, 2), "stages": stages}))
 
 
 if __name__ == "__main__":

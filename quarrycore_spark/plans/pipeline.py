@@ -66,23 +66,38 @@ def _save_manifest(out_dir: str, man: dict) -> None:
     os.replace(tmp, p)  # atomic (reference utils/atomic.py semantics)
 
 
-def _stage(spark, out_dir, man, name, builder, resume=True) -> DataFrame:
+def _stage(
+    spark, out_dir, man, name, builder, resume=True, checkpoint=True
+) -> DataFrame:
     """Run one stage with checkpoint/resume: if the manifest records the
-    stage as complete, read its parquet instead of recomputing."""
+    stage as complete, read its parquet instead of recomputing.
+
+    checkpoint=False (bench / short jobs): persist in memory instead of a
+    parquet round-trip — same computation, no resumability, none of the
+    fixed I/O barriers. Long 10^12-doc runs always checkpoint."""
     path = os.path.join(out_dir, name)
-    if resume and name in man["stages"]:
+    if checkpoint and resume and name in man["stages"]:
         return spark.read.parquet(man["stages"][name]["path"])
     t0 = time.time()
     df = builder()
-    df.write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
+    if not checkpoint:
+        # localCheckpoint (not persist): truncates the logical plan, which
+        # both avoids recompute and sidesteps Catalyst constraint-rewrite
+        # errors when unioning cached subplans downstream
+        df = df.localCheckpoint(eager=True)
+        rows = df.count()
+    else:
+        df.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        rows = df.count()
     man["stages"][name] = {
-        "path": path,
-        "rows": out.count(),
+        "path": path if checkpoint else None,
+        "rows": rows,
         "wall_s": round(time.time() - t0, 3),
     }
-    _save_manifest(out_dir, man)
-    return out
+    if checkpoint:
+        _save_manifest(out_dir, man)
+    return df
 
 
 def run_pipeline(
@@ -92,6 +107,8 @@ def run_pipeline(
     cfg: DedupConfig = DEFAULT_CONFIG,
     resume: bool = True,
     min_overlap: int | None = None,
+    checkpoint: bool = True,
+    substring: bool = True,
 ) -> PipelineResult:
     os.makedirs(out_dir, exist_ok=True)
     man = _load_manifest(out_dir) if resume else {"stages": {}}
@@ -105,22 +122,26 @@ def run_pipeline(
         lambda: extract_pages(pages.repartition(par)).withColumn(
             "doc_id", F.xxhash64("url")
         ),
-        resume,
+        resume, checkpoint,
     )
 
     # ---- stage 2: exact dedup (D1, D2) ----------------------------------
+    # content_hash comes from the extraction UDF (sha256 over canonical
+    # text) so the full canonical text never travels between stages.
+    # The exact stage carries only slim columns — extracted_text stays in
+    # the extraction table and is joined back by the stages that need it.
     def build_exact():
         from pyspark.sql import Window as W
 
         w = W.partitionBy("content_hash").orderBy("warc_ts", "url")
         return (
-            extracted.withColumn("content_hash", F.sha2("canonical_text", 256))
+            extracted.select("doc_id", "url", "warc_ts", "content_hash")
             .withColumn("rn", F.row_number().over(w))
             .withColumn("is_exact_canonical", F.col("rn") == 1)
             .drop("rn")
         )
 
-    docs = _stage(spark, out_dir, man, "exact", build_exact, resume)
+    docs = _stage(spark, out_dir, man, "exact", build_exact, resume, checkpoint)
 
     # exact star edges: member → group-canonical (same CC as the clique)
     canon = docs.filter("is_exact_canonical").select(
@@ -136,24 +157,50 @@ def run_pipeline(
     # ---- stage 3: signatures on exact survivors (D4-D7, D10) ------------
     # short-circuit semantics of the reference (hybrid_dedup.py:146-171):
     # near-dup detection only runs on docs that survived the exact layer.
-    survivors = docs.filter("is_exact_canonical").select(
-        "doc_id", F.col("extracted_text").alias("text")
+    survivors = (
+        docs.filter("is_exact_canonical")
+        .select("doc_id")
+        .join(extracted.select("doc_id", "extracted_text"), "doc_id")
+        .select("doc_id", F.col("extracted_text").alias("text"))
     )
     sigs = _stage(
         spark, out_dir, man, "signatures",
         # "poly" = the vectorized rolling-hash family (signatures.py) —
         # same shingle/permutation/banding structure, ~300× cheaper per doc
-        lambda: with_signatures(survivors, cfg, family="poly"), resume,
+        lambda: with_signatures(survivors, cfg, family="poly"),
+        resume, checkpoint,
     )
 
     # ---- stage 4: near-dup pair generation (D7-D10) ----------------------
     mh_pairs = _stage(
         spark, out_dir, man, "minhash_pairs",
-        lambda: verified_pairs(sigs, cfg), resume,
+        lambda: verified_pairs(sigs, cfg), resume, checkpoint,
     )
     sh_pairs = _stage(
         spark, out_dir, man, "simhash_pairs",
-        lambda: simhash_pairs(sigs, cfg), resume,
+        lambda: simhash_pairs(sigs, cfg), resume, checkpoint,
+    )
+
+    # ---- stage 4b: substring-overlap extents (D13, classification only) --
+    # Suffix-array refinement over L-gram candidates: finds contains /
+    # contained_in relations (the reference's partial-match scan,
+    # fuzzy_matcher.py:213-236). Informational output — does NOT feed CC
+    # (containment is not duplication).
+    mo = min_overlap if min_overlap is not None else cfg.min_overlap
+
+    def build_substring():
+        from quarrycore_spark.operators.substring import (
+            substring_extents,
+            winnow_doc_pairs,
+        )
+
+        cand = winnow_doc_pairs(survivors, mo, id_col="doc_id", text_col="text")
+        return substring_extents(survivors, cand, mo, id_col="doc_id", text_col="text")
+
+    sub_pairs = (
+        _stage(spark, out_dir, man, "substring_pairs", build_substring, resume, checkpoint)
+        if substring
+        else None
     )
 
     # ---- stage 5: connected components (D16) -----------------------------
@@ -166,17 +213,22 @@ def run_pipeline(
         spark, out_dir, man, "clusters",
         lambda: connected_components(
             edges, docs.select("doc_id"),
-            checkpoint_dir=os.path.join(out_dir, "cc"), resume=resume,
+            checkpoint_dir=os.path.join(out_dir, "cc") if checkpoint else None,
+            resume=resume,
         ),
-        resume,
+        resume, checkpoint,
     )
 
     # ---- stage 6: final labeled docs table (D15, D17) ---------------------
     def build_final():
         mh_b = mh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_mh", F.lit(True))
         sh_b = sh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_sh", F.lit(True))
+        meta = extracted.select(
+            "doc_id", "lang", "extracted_text", "title", "quality_scaled", "extract_error"
+        )
         return (
-            docs.join(clusters, "doc_id", "left")
+            docs.join(meta, "doc_id")
+            .join(clusters, "doc_id", "left")
             .join(mh_b, "doc_id", "left")
             .join(sh_b, "doc_id", "left")
             .select(
@@ -196,7 +248,7 @@ def run_pipeline(
             )
         )
 
-    final = _stage(spark, out_dir, man, "docs_dedup", build_final, resume)
+    final = _stage(spark, out_dir, man, "docs_dedup", build_final, resume, checkpoint)
 
     # ---- lineage: per-partition row counts per stage (north-rule lineage) --
     def lineage_of(df: DataFrame, stage: str) -> DataFrame:
@@ -213,6 +265,8 @@ def run_pipeline(
         .union(lineage_of(sh_pairs, "simhash_pairs"))
         .union(lineage_of(final, "docs_dedup"))
     )
+    if sub_pairs is not None:
+        lineage = lineage.union(lineage_of(sub_pairs, "substring_pairs"))
     lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
 
     metrics = [

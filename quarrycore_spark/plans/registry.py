@@ -593,6 +593,46 @@ register(
 )
 
 
+def _cluster_size_histogram_sql(dialect: str) -> str:
+    """D16/D17: cluster-size distribution (groupBy cluster then by size) —
+    the 'cluster sizes / dedup ratio' aggregation of SURVEY §2.5."""
+    return f"""
+WITH RECURSIVE {_edges_sql(dialect)},
+_sym AS (SELECT u, v FROM _edges UNION SELECT v AS u, u AS v FROM _edges),
+reach(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.v AS dst FROM reach r JOIN _sym s ON r.dst = s.u
+),
+_cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+_sz AS (SELECT cluster_id, count(*) AS cluster_size FROM _cl GROUP BY cluster_id)
+SELECT cluster_size, count(*) AS n_clusters
+FROM _sz GROUP BY cluster_size
+"""
+
+
+def _spark_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    clusters = _spark_dedup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+register(
+    Query(
+        "cluster_size_histogram",
+        "D16/D17: cluster-size distribution",
+        _cluster_size_histogram_sql,
+        spark_fn=_spark_cluster_size_histogram,
+    )
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.run_spark for name, q in REGISTRY.items()}
 

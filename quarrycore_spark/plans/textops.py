@@ -272,3 +272,28 @@ register(
         tables=("events",),
     )
 )
+
+
+def _top_quality_docs(dialect: str) -> str:
+    """SURVEY §2.7 top-k: highest-quality docs with deterministic tiebreak —
+    the batch form of the reference's quality-weighted sampler
+    (dataset/sampler.py:21-105)."""
+    if dialect == SPARK:
+        uniq = "size(array_distinct(split(nt, ' ')))"
+    else:
+        uniq = "len(list_distinct(string_split(nt, ' ')))"
+    len_ok = f"case when length(nt) > {CFG.min_text_len} then 1 else 0 end"
+    lang_en = "case when lang = 'en' then 1 else 0 end"
+    score = D.idiv(f"(30 * ({len_ok}) + 40 * ({lang_en})) * 100", "70", dialect)
+    return f"""
+WITH _docs AS (
+  SELECT doc_id, lang, {D.norm_text('text', dialect)} AS nt FROM documents
+),
+_q AS (SELECT doc_id, {score} AS quality_scaled, {uniq} AS distinct_words FROM _docs)
+SELECT doc_id, quality_scaled, distinct_words FROM _q
+ORDER BY quality_scaled DESC, distinct_words DESC, doc_id
+LIMIT 20
+"""
+
+
+register(Query("top_quality_docs", "§2.7 top-k by quality (sampler analogue)", _top_quality_docs))

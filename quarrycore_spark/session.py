@@ -73,6 +73,11 @@ def get_spark(
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # read small test parquet with enough splits to use all cores
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # workaround: UnionBase.rewriteConstraints throws
+        # NoSuchElementException when unioning localCheckpointed
+        # aggregate-derived branches (Spark 4.1); constraint propagation
+        # contributes nothing to these plans
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -28,10 +28,9 @@ def streaming_exact_dedup(
     Works on any streaming pages source (file, kafka, rate). State is
     bounded by the watermark — the scale-safe default for unbounded input.
     """
-    extracted = extract_pages(pages_stream)
-    hashed = extracted.withColumn("content_hash", F.sha2("canonical_text", 256))
+    extracted = extract_pages(pages_stream)  # emits content_hash directly
     return (
-        hashed.withWatermark("warc_ts", watermark)
+        extracted.withWatermark("warc_ts", watermark)
         .dropDuplicates(["content_hash"])
     )
 
@@ -61,10 +60,7 @@ class ForeachBatchDedup:
         from pyspark.sql import Window as W
 
         spark = batch.sparkSession
-        hashed = (
-            extract_pages(batch)
-            .withColumn("content_hash", F.sha2("canonical_text", 256))
-        )
+        hashed = extract_pages(batch)  # emits content_hash directly
         state = self._state(spark)
         if state is not None:
             hashed = hashed.join(

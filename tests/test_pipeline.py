@@ -162,6 +162,33 @@ def test_pipeline_resume_identical(spark, corpus, pipeline_result):
     assert first == second
 
 
+def test_containment_pairs_detected(spark, corpus, pipeline_result):
+    """Population 6 (doc B = doc A + extra) must surface in the substring
+    stage with the contains/contained_in classification
+    (fuzzy_matcher.py:200-236 semantics)."""
+    _, out = pipeline_result
+    sub = spark.read.parquet(f"{out}/substring_pairs")
+    rows = {(r.a_id, r.b_id): r.match_type for r in sub.collect()}
+    docs = spark.read.parquet(f"{out}/docs_dedup")
+    url_to_id = {r["url"]: r["doc_id"] for r in docs.select("url", "doc_id").collect()}
+    groups: dict[int, list] = {}
+    for idx, r in enumerate(corpus):
+        if r.population == "contain":
+            groups.setdefault(r.group_id, []).append((idx, r))
+    assert groups
+    found = 0
+    for gid, members in groups.items():
+        if len(members) != 2:
+            continue
+        (ia, ra), (ib, rb) = members  # ra = base, rb = base + extra
+        da, db = url_to_id[ra.url], url_to_id[rb.url]
+        key = (min(da, db), max(da, db))
+        if key in rows:
+            found += 1
+            assert rows[key] in ("contains", "contained_in"), rows[key]
+    assert found / len(groups) >= 0.9, f"only {found}/{len(groups)} containment pairs found"
+
+
 def test_pipeline_lineage_and_metrics(pipeline_result):
     res, _ = pipeline_result
     stages = {m["stage"] for m in res.metrics}

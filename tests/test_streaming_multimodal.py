@@ -61,13 +61,7 @@ def test_foreach_batch_cross_batch_dedup(spark, pages_parquet, tmp_path):
     # equals batch-mode exact dedup of the full corpus
     from quarrycore_spark.extraction.canonical import extract_pages
 
-    full = (
-        extract_pages(static)
-        .withColumn("content_hash", F.sha2("canonical_text", 256))
-        .select("content_hash")
-        .distinct()
-        .count()
-    )
+    full = extract_pages(static).select("content_hash").distinct().count()
     assert n == full
 
 
