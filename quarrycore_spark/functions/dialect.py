@@ -201,9 +201,11 @@ def sig_agreement(a_expr: str, b_expr: str, n: int, dialect: str) -> str:
             f"aggregate(zip_with({a_expr}, {b_expr}, (x, y) -> if(x = y, 1L, 0L)), "
             f"0L, (acc, v) -> acc + v)"
         )
+    # list_sum returns HUGEINT (int128) in DuckDB; cast so the typed
+    # value-hash of the oracle matches Spark's BIGINT.
     return (
         f"list_sum(list_transform(range(0, {n}), "
-        f"i -> case when {a_expr}[i + 1] = {b_expr}[i + 1] then 1 else 0 end))"
+        f"i -> case when {a_expr}[i + 1] = {b_expr}[i + 1] then 1 else 0 end))::BIGINT"
     )
 
 

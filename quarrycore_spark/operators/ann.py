@@ -3,12 +3,22 @@
 The SQL-dialect versions in plans/vectorops.py define the semantics (and
 serve as the DuckDB oracle); these numpy implementations compute the exact
 same quantized-integer results ~100× faster by replacing interpreted
-per-element SQL lambdas with Arrow-batched matrix ops:
+per-element SQL lambdas with Arrow-batched matrix ops.
 
-* brute force: broadcast the (small) quantized matrix, each task multiplies
-  its partition's block against it — the classic distributed block
-  matrix-product; at 10^12 rows you shard the broadcast side instead;
-* hyperplane LSH: same signatures as the SQL path, numpy sign bits.
+Scale shapes (nothing here collects a full table to the driver):
+
+* ``embedding_dup_pairs`` — exact all-pairs threshold join as a *block-pair
+  self-join*: vectors are hashed into B blocks, every row is replicated to
+  the B (block_i, block_j) groups it participates in, and each group runs an
+  in-memory numpy block product. Work is the inherent O(n²/B²)·B² of an
+  exact all-pairs scan, but memory per task is O(n/B) and the driver never
+  sees a vector. The sub-quadratic path at 10^12 rows is ``ann_lsh_pairs``.
+* ``ann_topk`` — only the stride-sampled *query* vectors are collected
+  (row-capped, loud failure beyond the cap) and broadcast; the full table
+  streams through mapInPandas emitting per-batch top-k, merged by a final
+  window over ≤ k·batches rows per query.
+* ``ann_lsh_pairs`` — banded hyperplane LSH: shuffle once into
+  (band, signature) buckets, verify inside the bucket, only ids leave.
 
 Integer contract: q = floor(x_float64 * 1000 + 0.5) as int64 — identical
 IEEE arithmetic to the SQL expression, so results hash-match the oracle.
@@ -22,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from quarrycore_spark.plans.vectorops import (
     ANN_K,
@@ -33,106 +44,175 @@ from quarrycore_spark.plans.vectorops import (
     _planes,
 )
 
+# Hard cap on how many stride-sampled query vectors ann_topk may broadcast.
+# Exceeding it raises instead of silently melting the driver.
+MAX_BROADCAST_QUERIES = 200_000
+
+_QV_SCHEMA = "vec_id bigint, q array<bigint>, na bigint"
+
 
 def quantize(v: np.ndarray) -> np.ndarray:
     return np.floor(v.astype(np.float64) * 1000 + 0.5).astype(np.int64)
 
 
-def _collect_quantized(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy(np.int64)
-    Q = quantize(np.stack(pdf["embedding"].to_numpy()))
-    order = np.argsort(ids)
-    return ids[order], Q[order]
-
-
-def embedding_dup_pairs(emb: DataFrame, cos_pct: int = PAIR_COS_PCT) -> DataFrame:
-    """All pairs with quantized cosine >= cos_pct/100 (dot>0), exact ints.
-
-    Distributed shape: broadcast (ids, Q); each partition's rows are block-
-    multiplied against the broadcast matrix. Output identical to the SQL
-    all-pairs join.
-    """
-    spark = emb.sparkSession
-    ids, Q = _collect_quantized(emb)
-    b = spark.sparkContext.broadcast((ids, Q))
-    thr = cos_pct * cos_pct
+def quantized_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, q array<bigint>, na norm²) — Arrow-batched quantization."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_q = b.value
-        norms = (all_q * all_q).sum(axis=1)
         for pdf in batches:
-            my_ids = pdf["vec_id"].to_numpy(np.int64)
-            my_q = quantize(np.stack(pdf["embedding"].to_numpy()))
-            my_n = (my_q * my_q).sum(axis=1)
-            dots = my_q @ all_q.T  # block × broadcast
-            for r in range(len(my_ids)):
-                if my_n[r] <= 0:
-                    continue
-                mask = (
-                    (all_ids > my_ids[r])
-                    & (norms > 0)
-                    & (dots[r] > 0)
-                    & (10000 * dots[r] * dots[r] >= thr * my_n[r] * norms)
-                )
-                if mask.any():
-                    yield pd.DataFrame(
-                        {
-                            "a_id": np.full(mask.sum(), my_ids[r], dtype=np.int64),
-                            "b_id": all_ids[mask],
-                            "dot": dots[r][mask],
-                            "na": np.full(mask.sum(), my_n[r], dtype=np.int64),
-                            "nb": norms[mask],
-                        }
-                    )
+            Q = quantize(np.stack(pdf["embedding"].to_numpy()))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "q": list(Q),
+                    "na": (Q * Q).sum(axis=1),
+                }
+            )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        compute, schema="a_id bigint, b_id bigint, dot bigint, na bigint, nb bigint"
+    return emb.select("vec_id", "embedding").mapInPandas(compute, schema=_QV_SCHEMA)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, cos_pct: int = PAIR_COS_PCT, n_blocks: int = 8
+) -> DataFrame:
+    """All pairs with quantized cosine >= cos_pct/100 (dot>0), exact ints.
+
+    Block-pair self-join: row with block i is replicated to every group
+    (min(i,j), max(i,j)); group (i,j) block-multiplies block i against
+    block j (triangular within a diagonal group). Each unordered pair is
+    produced in exactly one group, so no dedup pass is needed. Output is
+    identical to the SQL all-pairs join (plans/vectorops.py oracle).
+    """
+    thr = cos_pct * cos_pct
+    qv = quantized_frame(emb).filter(F.col("na") > 0)
+    j = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("j")
+    blocked = (
+        qv.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+        .select("vec_id", "q", "na", "blk", j)
+        .withColumn("bi", F.least("blk", "j"))
+        .withColumn("bj", F.greatest("blk", "j"))
+        .drop("j")
+    )
+
+    def verify_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        Q = np.stack(pdf["q"].to_numpy())
+        na = pdf["na"].to_numpy(np.int64)
+        if bi == bj:
+            dots = Q @ Q.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a_id, b_id = ids[iu], ids[ju]
+            d = dots[iu, ju]
+            n_a, n_b = na[iu], na[ju]
+        else:
+            left = pdf["blk"].to_numpy(np.int64) == bi
+            right = ~left
+            nl, nr = int(left.sum()), int(right.sum())
+            if nl == 0 or nr == 0:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype="int64") for c in ("a_id", "b_id", "dot", "na", "nb")}
+                )
+            dots = Q[left] @ Q[right].T
+            li = np.repeat(np.arange(nl), nr)
+            ri = np.tile(np.arange(nr), nl)
+            a_id, b_id = ids[left][li], ids[right][ri]
+            n_a, n_b = na[left][li], na[right][ri]
+            d = dots.ravel()
+        # canonical (a_id < b_id) ordering
+        swap = a_id > b_id
+        a_id, b_id = np.where(swap, b_id, a_id), np.where(swap, a_id, b_id)
+        n_a, n_b = np.where(swap, n_b, n_a), np.where(swap, n_a, n_b)
+        keep = (d > 0) & (10000 * d * d >= thr * n_a * n_b)
+        return pd.DataFrame(
+            {
+                "a_id": a_id[keep],
+                "b_id": b_id[keep],
+                "dot": d[keep],
+                "na": n_a[keep],
+                "nb": n_b[keep],
+            }
+        )
+
+    return blocked.groupBy("bi", "bj").applyInPandas(
+        verify_block_pair,
+        schema="a_id bigint, b_id bigint, dot bigint, na bigint, nb bigint",
     )
 
 
-def ann_topk(emb: DataFrame, k: int = ANN_K, stride: int = QUERY_STRIDE) -> DataFrame:
+def ann_topk(
+    emb: DataFrame,
+    k: int = ANN_K,
+    stride: int = QUERY_STRIDE,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
     """Brute-force top-k for stride-sampled queries; same integer score as
-    the SQL version (non-negative division then sign)."""
-    spark = emb.sparkSession
-    ids, Q = _collect_quantized(emb)
-    b = spark.sparkContext.broadcast((ids, Q))
+    the SQL version (non-negative division then sign).
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_q = b.value
-        norms = (all_q * all_q).sum(axis=1)
+    Only the query vectors (1/stride of the table, hard-capped at
+    ``max_queries`` — loud RuntimeError beyond it) are collected and
+    broadcast; the full table streams through executors, each Arrow batch
+    emitting its local top-k per query, merged by one window over
+    ≤ k·batches rows per query. Exact integer scores make the merge exact.
+    """
+    spark = emb.sparkSession
+    qv = quantized_frame(emb).filter(F.col("na") > 0)
+    qrows = (
+        qv.filter(F.col("vec_id") % stride == 0).limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise RuntimeError(
+            f"ann_topk: >{max_queries} query vectors at stride={stride}; "
+            "raise the stride or use the LSH path (ann_lsh_pairs) — "
+            "refusing to broadcast an unbounded query set"
+        )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_Q = (
+        np.stack([np.asarray(r["q"], dtype=np.int64) for r in qrows])
+        if qrows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    q_na = np.array([r["na"] for r in qrows], dtype=np.int64)
+    b = spark.sparkContext.broadcast((q_ids, q_Q, q_na))
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qQ, qna = b.value
+        if len(qids) == 0:
+            return
         for pdf in batches:
-            my_ids = pdf["vec_id"].to_numpy(np.int64)
-            sel = my_ids % stride == 0
-            if not sel.any():
-                continue
-            my_ids = my_ids[sel]
-            my_q = quantize(np.stack(pdf["embedding"].to_numpy()[sel]))
-            my_n = (my_q * my_q).sum(axis=1)
-            dots = my_q @ all_q.T
-            for r in range(len(my_ids)):
-                if my_n[r] <= 0:
-                    continue
-                valid = (all_ids != my_ids[r]) & (norms > 0)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            Q = np.stack(pdf["q"].to_numpy())
+            na = pdf["na"].to_numpy(np.int64)
+            dots = qQ @ Q.T  # (n_queries, batch)
+            for r in range(len(qids)):
+                valid = ids != qids[r]
                 d = dots[r][valid]
-                nb = norms[valid]
-                nid = all_ids[valid]
+                nb = na[valid]
+                nid = ids[valid]
+                if len(nid) == 0:
+                    continue
                 # all products stay inside int64: dot²·1e5 <= 3.3e18 < 2^63
-                pos = (d * d * 100000) // (my_n[r] * nb)
+                pos = (d * d * 100000) // (qna[r] * nb)
                 score = np.where(d < 0, -pos, pos).astype(np.int64)
-                # top-k by (score desc, neighbor_id asc)
                 order = np.lexsort((nid, -score))[:k]
                 yield pd.DataFrame(
                     {
-                        "query_id": np.full(len(order), my_ids[r], dtype=np.int64),
+                        "query_id": np.full(len(order), qids[r], dtype=np.int64),
                         "neighbor_id": nid[order],
                         "score_q": score[order],
-                        "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
                     }
                 )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        compute, schema="query_id bigint, neighbor_id bigint, score_q bigint, rnk bigint"
+    partial = qv.mapInPandas(
+        partial_topk, schema="query_id bigint, neighbor_id bigint, score_q bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score_q", "rnk")
     )
 
 

@@ -73,7 +73,12 @@ register(Query("exact_dedup", "D1+D2: content hash + canonical selection", _exac
 
 
 def _exact_dup_pairs(dialect: str) -> str:
-    """All (a,b) doc pairs sharing a content hash (a<b) — exact-dup edges."""
+    """All (a,b) doc pairs sharing a content hash (a<b) — the clique form.
+
+    ORACLE-ONLY definition: the clique is quadratic in group size (a 10⁶-copy
+    boilerplate group would emit 5·10¹¹ rows), so nothing downstream consumes
+    it — the pipeline and the CC edge graph use the O(n)-per-group star form
+    (member → min(doc_id), see `_edges_sql`/`dedup_edges`)."""
     return f"""
 WITH {P.doc_norm(dialect, CFG)}
 SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -138,14 +143,34 @@ _SIG_CACHE: dict = {}
 
 def _sigs(spark: SparkSession, sf_dir: str):
     """Signature DataFrame for `documents` at sf_dir, persisted & memoized
-    per session so the stage-2/3 queries share one computation."""
+    per session so the stage-2/3 queries share one computation.
+
+    Keyed by applicationId (stable for the session's lifetime — unlike
+    id(spark), which CPython can reuse after GC). Long-lived sessions call
+    release_sigs() to unpersist."""
     from quarrycore_spark.operators.signatures import with_signatures
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIG_CACHE:
         docs = load(spark, sf_dir, "documents")["documents"]
         _SIG_CACHE[key] = with_signatures(docs, CFG).persist()
     return _SIG_CACHE[key]
+
+
+def release_sigs(spark: SparkSession | None = None) -> int:
+    """Unpersist and evict memoized signature frames — all of them, or only
+    the given session's. Returns the number of entries released."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    released = 0
+    for key in list(_SIG_CACHE):
+        if app is None or key[0] == app:
+            df = _SIG_CACHE.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — eviction is enough
+            released += 1
+    return released
 
 
 def _sig_prelude(dialect: str) -> str:
@@ -408,7 +433,12 @@ register(
 
 
 def _edges_sql(dialect: str) -> str:
-    """Edge CTEs: exact ∪ minhash-verified ∪ simhash pairs (as `_edges`)."""
+    """Edge CTEs: exact-star ∪ minhash-verified ∪ simhash pairs (as `_edges`).
+
+    Exact edges are the STAR form (member → min(doc_id) per hash): O(n) per
+    hash group instead of the O(n²) clique, with identical connected
+    components and an identical "later member" set (every non-min member
+    appears as `v` exactly as it would in the clique)."""
     thresh = CFG.num_perm * CFG.jaccard_threshold_pct
     width = CFG.simhash_bits // CFG.simhash_bands
     mask = (1 << width) - 1
@@ -421,9 +451,11 @@ def _edges_sql(dialect: str) -> str:
 _sig AS (SELECT doc_id, {D.minhash_array('hs', CFG, dialect)} AS sig,
          {D.band_hash_array('hs', CFG, dialect)} AS bands FROM _h),
 _sim AS (SELECT doc_id, {D.simhash('h60s', CFG, dialect)} AS simhash FROM _h60),
+_canon AS (SELECT content_hash, min(doc_id) AS canon_id FROM _docs GROUP BY content_hash),
 _ex AS (
-  SELECT a.doc_id AS u, b.doc_id AS v FROM _docs a JOIN _docs b
-    ON a.content_hash = b.content_hash AND a.doc_id < b.doc_id
+  SELECT c.canon_id AS u, d.doc_id AS v
+  FROM _docs d JOIN _canon c
+    ON d.content_hash = c.content_hash AND d.doc_id > c.canon_id
 ),
 _bx AS (SELECT doc_id, {D.posexplode('bands', 'band_idx', 'band_hash', dialect)} FROM _sig),
 _capm AS (SELECT band_idx, band_hash FROM _bx GROUP BY band_idx, band_hash
@@ -468,7 +500,10 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 
 
 def dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark edge graph: exact ∪ minhash-verified ∪ simhash pairs."""
+    """Spark edge graph: exact-star ∪ minhash-verified ∪ simhash pairs.
+
+    Exact edges are star edges (member → min(doc_id) per content_hash),
+    mirroring plans/pipeline.py — O(n) per hash group, same components."""
     from pyspark.sql import functions as F
 
     from quarrycore_spark.operators.lsh import verified_pairs
@@ -476,14 +511,11 @@ def dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = _sigs(spark, sf_dir)
     s = sigs.select("doc_id", "content_hash")
+    canon = s.groupBy("content_hash").agg(F.min("doc_id").alias("u"))
     ex = (
-        s.alias("a")
-        .join(
-            s.alias("b"),
-            (F.col("a.content_hash") == F.col("b.content_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        s.join(canon, "content_hash")
+        .filter(F.col("doc_id") > F.col("u"))
+        .select("u", F.col("doc_id").alias("v"))
     )
     mh = verified_pairs(sigs, CFG, LSH_BUCKET_CAP).select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
@@ -541,14 +573,11 @@ def _spark_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = _sigs(spark, sf_dir)
     s = sigs.select("doc_id", "content_hash")
+    canon = s.groupBy("content_hash").agg(F.min("doc_id").alias("canon_id"))
     ex = (
-        s.alias("a")
-        .join(
-            s.alias("b"),
-            (F.col("a.content_hash") == F.col("b.content_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("b.doc_id").alias("doc_id"))
+        s.join(canon, "content_hash")
+        .filter(F.col("doc_id") > F.col("canon_id"))
+        .select("doc_id")
         .distinct()
         .withColumn("t_exact", F.lit(True))
     )

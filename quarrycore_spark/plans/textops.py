@@ -242,6 +242,13 @@ def _event_sessions(dialect: str) -> str:
     # Spark 4 reads parquet timestamps as TIMESTAMP_NTZ; session TZ is pinned
     # to UTC so casting matches DuckDB's naive epoch_ms exactly.
     ep = "unix_millis(cast(ts as timestamp))" if dialect == SPARK else "epoch_ms(ts)"
+    # DuckDB's windowed sum() yields HUGEINT (int128); cast to BIGINT so the
+    # oracle's typed value-hash matches Spark's windowed sum (BIGINT).
+    sess = (
+        "sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id "
+        "ROWS UNBOUNDED PRECEDING)"
+    )
+    sess = sess if dialect == SPARK else f"({sess})::BIGINT"
     return f"""
 WITH _e AS (SELECT user_id, event_id, {ep} AS ts_ms FROM events),
 _g AS (
@@ -253,8 +260,7 @@ _g AS (
 ),
 _s AS (
   SELECT user_id, event_id, ts_ms,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_idx
+         {sess} AS session_idx
   FROM _g
 )
 SELECT user_id, session_idx, count(*) AS n_events,
