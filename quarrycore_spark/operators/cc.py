@@ -16,10 +16,13 @@ checkpoint dir, ``localCheckpoint()`` truncates lineage in memory.
 from __future__ import annotations
 
 import json
+import logging
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 # 31-bit modulus: per-edge term <= 32*2^31 and the sum stays far inside
 # int64 even at 10^9 edges; ids may be full-range (negative) xxhash64 values,
@@ -57,12 +60,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.union(star).distinct()
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
+def _checksum_cols():
     term = (F.pmod(F.col("u"), F.lit(_CHECKSUM_P)) * 31
             + F.pmod(F.col("v"), F.lit(_CHECKSUM_P))) % _CHECKSUM_P
-    row = edges.select(
-        F.count("*").alias("n"), F.sum(term).alias("s")
-    ).collect()[0]
+    return [F.count(F.lit(1)).alias("n"), F.sum(term).alias("s")]
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(*_checksum_cols()).collect()[0]
     return (row["n"] or 0, row["s"] or 0)
 
 
@@ -72,6 +77,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     max_iter: int = 50,
     resume: bool = True,
+    min_checkpoint_edges: int = 1_000_000,
 ) -> DataFrame:
     """edges(u,v) + vertices(id) → (doc_id, cluster_id).
 
@@ -96,6 +102,7 @@ def connected_components(
             return _labels(state, vertices)
 
     prev_sum = _checksum(state)
+    converged = False
     for it in range(start_iter, max_iter):
         # size the iteration to the edge count: a dup-pair graph is tiny
         # relative to the corpus, and 32-task jobs over a few thousand
@@ -104,15 +111,26 @@ def connected_components(
             spark.sparkContext.defaultParallelism, prev_sum[0] // 100_000 + 1
         ))
         state = _small_star(_large_star(state)).coalesce(n_parts)
-        if checkpoint_dir:
+        # ONE action per iteration: the convergence checksum rides along
+        # with the materialization instead of re-scanning the state.
+        # Parquet round-trips only pay off when there is real state to
+        # protect: below the threshold an iteration costs milliseconds to
+        # redo, so in-memory truncation wins (no resume granularity lost
+        # that matters — the whole CC job is seconds at that size).
+        wrote_parquet = checkpoint_dir is not None and prev_sum[0] >= min_checkpoint_edges
+        if wrote_parquet:
             path = os.path.join(checkpoint_dir, f"iter_{it}")
-            state.write.mode("overwrite").parquet(path)
+            obs = Observation(f"cc_iter_{it}")
+            state.observe(obs, *_checksum_cols()).write.mode("overwrite").parquet(path)
+            got = obs.get
+            cur = (got["n"] or 0, got["s"] or 0)
             state = spark.read.parquet(path)
         else:
-            state = state.localCheckpoint()
-        cur = _checksum(state)
+            state = state.localCheckpoint(eager=False)
+            cur = _checksum(state)  # this action materializes the checkpoint
         converged = cur == prev_sum
-        if manifest_path:
+        # only record resumable iterations — in-memory ones have no path
+        if manifest_path and wrote_parquet:
             tmp = manifest_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
@@ -125,14 +143,23 @@ def connected_components(
         if converged:
             break
         prev_sum = cur
-    return _labels(state, vertices)
+    if not converged:
+        # Non-star state can carry several rows per vertex; min-aggregate so
+        # the output stays one row per doc_id instead of silently duplicating.
+        log.warning(
+            "connected_components: no fixpoint after %d iterations; "
+            "emitting min-label assignment over the last state", max_iter
+        )
+    return _labels(state, vertices, aggregate=not converged)
 
 
-def _labels(star_edges: DataFrame, vertices: DataFrame) -> DataFrame:
+def _labels(star_edges: DataFrame, vertices: DataFrame, aggregate: bool = False) -> DataFrame:
     """Final star edges (child→root) + vertex set → full assignment."""
     roots = star_edges.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     )
+    if aggregate:
+        roots = roots.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
     return (
         vertices.select(F.col(vertices.columns[0]).alias("doc_id"))
         .join(roots, "doc_id", "left")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
+from quarrycore_spark.operators._cache import track
 
 DEFAULT_BUCKET_CAP = 200
 
@@ -22,16 +23,16 @@ def band_buckets(sigs: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """sigs(doc_id, bands) → (doc_id, band_idx, band_hash), only buckets with
     2..cap members (singleton buckets produce no pairs; mega-buckets are
     boilerplate — dropped deterministically, counted in lineage)."""
-    bx = sigs.select(
+    bx = track(sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
-    ).persist()  # cap filter + both self-join sides reuse it
+    ))  # cap filter + both self-join sides reuse it; released via release_tracked()
     keep = (
         bx.groupBy("band_idx", "band_hash")
         .count()
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .drop("count")
     )
-    return bx.join(keep, ["band_idx", "band_hash"]).persist()
+    return track(bx.join(keep, ["band_idx", "band_hash"]))
 
 
 def candidate_pairs(sigs: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
+from quarrycore_spark.operators._cache import track
 
 DEFAULT_BUCKET_CAP = 200
 
@@ -38,14 +39,14 @@ def simhash_pairs(
     cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """(a_id, b_id, hamming) for pairs at Hamming distance <= hamming_max."""
-    bx = simhash_bands(sigs, cfg).persist()
+    bx = track(simhash_bands(sigs, cfg))
     keep = (
         bx.groupBy("band_idx", "band_val")
         .count()
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .drop("count")
     )
-    bkt = bx.join(keep, ["band_idx", "band_val"]).persist()
+    bkt = track(bx.join(keep, ["band_idx", "band_val"]))
     a = bkt.alias("a")
     b = bkt.alias("b")
     cand = (

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
+from quarrycore_spark.operators._cache import track
 
 DEFAULT_GRAM_CAP = 200
 
@@ -79,15 +80,15 @@ def winnow_doc_pairs(
                 {"doc_id": np.concatenate(ids), "g": np.concatenate(gs)}
             )
 
-    grams = docs.select(id_col, text_col).mapInPandas(
+    grams = track(docs.select(id_col, text_col).mapInPandas(
         compute, schema="doc_id bigint, g bigint"
-    ).persist()
+    ))
     keep = (
         grams.groupBy("g").count()
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .drop("count")
     )
-    gk = grams.join(keep, "g").persist()
+    gk = track(grams.join(keep, "g"))
     a = gk.alias("a")
     b = gk.alias("b")
     return (
@@ -110,15 +111,15 @@ def gram_doc_pairs(
     grams = (
         docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM).alias("nt"))
         .select("doc_id", F.explode(F.expr(_gram_hashes_expr(l_gram))).alias("g"))
-        .persist()  # referenced by the cap filter AND both join sides
     )
+    grams = track(grams)  # referenced by the cap filter AND both join sides
     keep = (
         grams.groupBy("g")
         .count()
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .drop("count")
     )
-    gk = grams.join(keep, "g").persist()
+    gk = track(grams.join(keep, "g"))
     a = gk.alias("a")
     b = gk.alias("b")
     return (

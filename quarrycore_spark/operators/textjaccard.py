@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quarrycore_spark.functions import dialect as D
+from quarrycore_spark.operators._cache import track
 from quarrycore_spark.functions.dialect import SPARK
 
 _NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
@@ -32,8 +33,8 @@ def trigram_jaccard_pairs(
         docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM.replace("text", text_col)).alias("nt"))
         .withColumn("ws", F.split("nt", " "))
         .select("doc_id", F.expr(tg_expr).alias("tg"))
-        .persist()
     )
+    t = track(t)
     sz = t.select("doc_id", F.size("tg").alias("n_g"))
     gx = t.select("doc_id", F.explode("tg").alias("g"))
     keep = (
@@ -41,7 +42,7 @@ def trigram_jaccard_pairs(
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .drop("count")
     )
-    gk = gx.join(keep, "g").persist()
+    gk = track(gx.join(keep, "g"))
     inter = (
         gk.alias("a")
         .join(gk.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))

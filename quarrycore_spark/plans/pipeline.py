@@ -67,14 +67,19 @@ def _save_manifest(out_dir: str, man: dict) -> None:
 
 
 def _stage(
-    spark, out_dir, man, name, builder, resume=True, checkpoint=True
+    spark, out_dir, man, name, builder, resume=True, checkpoint=True,
+    stage_counts=True,
 ) -> DataFrame:
     """Run one stage with checkpoint/resume: if the manifest records the
     stage as complete, read its parquet instead of recomputing.
 
     checkpoint=False (bench / short jobs): persist in memory instead of a
     parquet round-trip — same computation, no resumability, none of the
-    fixed I/O barriers. Long 10^12-doc runs always checkpoint."""
+    fixed I/O barriers. Long 10^12-doc runs always checkpoint.
+
+    stage_counts=False skips the per-stage row count (one fewer job per
+    stage in checkpoint mode; the write itself observes the count instead).
+    """
     path = os.path.join(out_dir, name)
     if checkpoint and resume and name in man["stages"]:
         return spark.read.parquet(man["stages"][name]["path"])
@@ -85,11 +90,21 @@ def _stage(
         # both avoids recompute and sidesteps Catalyst constraint-rewrite
         # errors when unioning cached subplans downstream
         df = df.localCheckpoint(eager=True)
-        rows = df.count()
+        rows = df.count() if stage_counts else None
     else:
-        df.write.mode("overwrite").parquet(path)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"stage_{name}_{int(t0 * 1000)}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        rows = int(obs.get["n"])
         df = spark.read.parquet(path)
-        rows = df.count()
+    # drop operator-internal persisted intermediates now that the stage
+    # output is materialized — keeps executor storage flat across stages
+    from quarrycore_spark.operators._cache import release_tracked
+
+    release_tracked()
     man["stages"][name] = {
         "path": path if checkpoint else None,
         "rows": rows,
@@ -109,20 +124,21 @@ def run_pipeline(
     min_overlap: int | None = None,
     checkpoint: bool = True,
     substring: bool = True,
+    stage_counts: bool = True,
 ) -> PipelineResult:
     os.makedirs(out_dir, exist_ok=True)
     man = _load_manifest(out_dir) if resume else {"stages": {}}
 
     # ---- stage 1: extraction (P1-P6, P11) -------------------------------
-    # spread the (CPU-bound) extraction across all cores even when the
-    # input has few parquet splits
+    # spread the (CPU-bound) extraction across all cores when the input has
+    # few parquet splits — but never shuffle the raw HTML if it already has
+    # enough partitions (the repartition would move every byte of the corpus)
     par = spark.sparkContext.defaultParallelism
+    src = pages if pages.rdd.getNumPartitions() >= par else pages.repartition(par)
     extracted = _stage(
         spark, out_dir, man, "extracted",
-        lambda: extract_pages(pages.repartition(par)).withColumn(
-            "doc_id", F.xxhash64("url")
-        ),
-        resume, checkpoint,
+        lambda: extract_pages(src).withColumn("doc_id", F.xxhash64("url")),
+        resume, checkpoint, stage_counts,
     )
 
     # ---- stage 2: exact dedup (D1, D2) ----------------------------------
@@ -141,7 +157,7 @@ def run_pipeline(
             .drop("rn")
         )
 
-    docs = _stage(spark, out_dir, man, "exact", build_exact, resume, checkpoint)
+    docs = _stage(spark, out_dir, man, "exact", build_exact, resume, checkpoint, stage_counts)
 
     # exact star edges: member → group-canonical (same CC as the clique)
     canon = docs.filter("is_exact_canonical").select(
@@ -168,18 +184,30 @@ def run_pipeline(
         # "poly" = the vectorized rolling-hash family (signatures.py) —
         # same shingle/permutation/banding structure, ~300× cheaper per doc
         lambda: with_signatures(survivors, cfg, family="poly"),
-        resume, checkpoint,
+        resume, checkpoint, stage_counts,
     )
 
     # ---- stage 4: near-dup pair generation (D7-D10) ----------------------
-    mh_pairs = _stage(
-        spark, out_dir, man, "minhash_pairs",
-        lambda: verified_pairs(sigs, cfg), resume, checkpoint,
+    # ONE materialization for both pair families: minhash-verified and
+    # simhash pairs consume the same persisted `sigs` frame, so unioning
+    # them into a single stage halves the stage barriers (write + count)
+    # of the shuffle-bound part of the job.
+    def build_pairs():
+        mh = verified_pairs(sigs, cfg).select(
+            "a_id", "b_id", F.col("agree_cnt").alias("score"),
+            F.lit("minhash").alias("kind"),
+        )
+        sh = simhash_pairs(sigs, cfg).select(
+            "a_id", "b_id", F.col("hamming").alias("score"),
+            F.lit("simhash").alias("kind"),
+        )
+        return mh.unionByName(sh)
+
+    pairs = _stage(
+        spark, out_dir, man, "pairs", build_pairs, resume, checkpoint, stage_counts,
     )
-    sh_pairs = _stage(
-        spark, out_dir, man, "simhash_pairs",
-        lambda: simhash_pairs(sigs, cfg), resume, checkpoint,
-    )
+    mh_pairs = pairs.filter(F.col("kind") == "minhash")
+    sh_pairs = pairs.filter(F.col("kind") == "simhash")
 
     # ---- stage 4b: substring-overlap extents (D13, classification only) --
     # Suffix-array refinement over L-gram candidates: finds contains /
@@ -198,7 +226,7 @@ def run_pipeline(
         return substring_extents(survivors, cand, mo, id_col="doc_id", text_col="text")
 
     sub_pairs = (
-        _stage(spark, out_dir, man, "substring_pairs", build_substring, resume, checkpoint)
+        _stage(spark, out_dir, man, "substring_pairs", build_substring, resume, checkpoint, stage_counts)
         if substring
         else None
     )
@@ -216,7 +244,7 @@ def run_pipeline(
             checkpoint_dir=os.path.join(out_dir, "cc") if checkpoint else None,
             resume=resume,
         ),
-        resume, checkpoint,
+        resume, checkpoint, stage_counts,
     )
 
     # ---- stage 6: final labeled docs table (D15, D17) ---------------------
@@ -248,7 +276,7 @@ def run_pipeline(
             )
         )
 
-    final = _stage(spark, out_dir, man, "docs_dedup", build_final, resume, checkpoint)
+    final = _stage(spark, out_dir, man, "docs_dedup", build_final, resume, checkpoint, stage_counts)
 
     # ---- lineage: per-partition row counts per stage (north-rule lineage) --
     def lineage_of(df: DataFrame, stage: str) -> DataFrame:
@@ -261,8 +289,7 @@ def run_pipeline(
     lineage = (
         lineage_of(extracted, "extracted")
         .union(lineage_of(sigs, "signatures"))
-        .union(lineage_of(mh_pairs, "minhash_pairs"))
-        .union(lineage_of(sh_pairs, "simhash_pairs"))
+        .union(lineage_of(pairs, "pairs"))
         .union(lineage_of(final, "docs_dedup"))
     )
     if sub_pairs is not None:
@@ -272,8 +299,11 @@ def run_pipeline(
     metrics = [
         {"stage": k, **v} for k, v in man["stages"].items()
     ]
-    total = final.count()
-    dups = final.filter("is_duplicate").count()
+    summary_row = final.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_duplicate").cast("long")).alias("d"),
+    ).collect()[0]
+    total, dups = summary_row["n"], summary_row["d"] or 0
     metrics.append(
         {
             "stage": "summary", "total_docs": total, "duplicate_docs": dups,

@@ -44,14 +44,20 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     edf = spark.createDataFrame(edges, "u long, v long")
     vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
     ckpt = str(tmp_path / "cc")
+    # min_checkpoint_edges=0 forces the parquet path on this tiny graph
+    # (real runs only checkpoint above the threshold)
     full = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(edf, vdf, checkpoint_dir=ckpt).collect()
+        for r in connected_components(
+            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0
+        ).collect()
     }
     # Simulate a resumed run: manifest exists, should short-circuit/converge
     resumed = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(edf, vdf, checkpoint_dir=ckpt).collect()
+        for r in connected_components(
+            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0
+        ).collect()
     }
     assert resumed == full
 
@@ -69,6 +75,35 @@ def test_cc_checkpoint_resume(spark, tmp_path):
         json.dump(man, f)
     rewound = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(edf, vdf, checkpoint_dir=ckpt).collect()
+        for r in connected_components(
+            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0
+        ).collect()
     }
     assert rewound == full
+
+
+def test_cc_small_graph_skips_parquet(spark, tmp_path):
+    """Below min_checkpoint_edges the loop stays in memory: no per-iteration
+    parquet, no manifest — and the labels are still correct."""
+    import os
+
+    n, edges = _random_graph(11, 60, 40)
+    edf = spark.createDataFrame(edges, "u long, v long")
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    ckpt = str(tmp_path / "cc_small")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edf, vdf, checkpoint_dir=ckpt).collect()
+    }
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(edges)
+    expected = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for node in comp:
+            expected[node] = root
+    assert labels == expected
+    assert not os.path.exists(os.path.join(ckpt, "manifest.json"))

@@ -192,8 +192,8 @@ def test_containment_pairs_detected(spark, corpus, pipeline_result):
 def test_pipeline_lineage_and_metrics(pipeline_result):
     res, _ = pipeline_result
     stages = {m["stage"] for m in res.metrics}
-    assert {"extracted", "exact", "signatures", "minhash_pairs",
-            "simhash_pairs", "clusters", "docs_dedup", "summary"} <= stages
+    assert {"extracted", "exact", "signatures", "pairs",
+            "clusters", "docs_dedup", "summary"} <= stages
     summary = next(m for m in res.metrics if m["stage"] == "summary")
     assert summary["total_docs"] == N_PAGES
     assert 0 < summary["duplicate_docs"] < N_PAGES
