@@ -81,6 +81,86 @@ def extract_main_text(raw: bytes | str) -> str:
     return _WS.sub(" ", s).strip()
 
 
+def extract_body_text(raw: bytes | str) -> str:
+    """Lenient tier: all body text INCLUDING chrome (nav/header/footer/…) —
+    lower precision, never loses content. The fallback when the strict tier
+    fails the quality gate (the reference's soup_fallback role in the
+    cascade, manager.py:119-237)."""
+    s = raw if isinstance(raw, str) else decode_html(raw)
+    s = _SCRIPT.sub(" ", s)
+    s = _STYLE.sub(" ", s)
+    s = _COMMENT.sub(" ", s)
+    s = re.sub(r"<head\b[^>]*>.*?</head\s*>", " ", s, flags=re.I | re.S)
+    s = _TAG.sub(" ", s)
+    s = _html.unescape(s)
+    return _WS.sub(" ", s).strip()
+
+
+# Cascade tiers: strict (precision: chrome subtrees removed) then lenient
+# (recall: all body text) — the 2-tier expression of the reference's
+# trafilatura → readability → soup cascade (cascade_order,
+# config.py:363-377) with the same accept-first-tier-above-threshold rule.
+EXTRACTORS: dict[str, object] = {
+    "strict": extract_main_text,
+    "lenient": extract_body_text,
+}
+DEFAULT_CASCADE: tuple[str, ...] = ("strict", "lenient")
+# Reference quality_threshold=0.6 (config.py:374) on the integerized scale.
+REFERENCE_GATE_SCALED = 60
+
+
+def resolve_cascade_order(
+    url: str | None,
+    overrides: dict[str, tuple[str, ...]] | None,
+    default_order: tuple[str, ...] = DEFAULT_CASCADE,
+) -> tuple[str, ...]:
+    """Per-domain cascade override resolution (manager.py:87-117): exact
+    domain match first, then suffix match (domain endswith '.override')."""
+    if not overrides or not url:
+        return default_order
+    try:
+        from urllib.parse import urlparse
+
+        domain = (urlparse(url).netloc or "").lower()
+    except Exception:
+        return default_order
+    if domain in overrides:
+        return tuple(overrides[domain])
+    for od, order in overrides.items():
+        if domain == od or domain.endswith(f".{od}"):
+            return tuple(order)
+    return default_order
+
+
+def cascade_extract(
+    raw: bytes | str,
+    url: str | None = None,
+    lang: str | None = None,
+    threshold_scaled: int = 0,
+    overrides: dict[str, tuple[str, ...]] | None = None,
+    default_order: tuple[str, ...] = DEFAULT_CASCADE,
+) -> tuple[str, str, int, bool]:
+    """P6 cascade with quality gating (manager.py:119-237): try extractors
+    in per-domain order, skip empty outputs, accept the first whose quality
+    >= threshold. Returns (text, extractor_name, quality_scaled, accepted);
+    when every tier fails the gate the best (last non-empty) attempt is
+    returned with accepted=False — the row-preserving form of the
+    reference's `return None` (the caller dead-letters instead of dropping).
+    """
+    last: tuple[str, str, int] | None = None
+    for name in resolve_cascade_order(url, overrides, default_order):
+        text = EXTRACTORS[name](raw)  # type: ignore[operator]
+        if not text.strip():
+            continue
+        q = quality_score_scaled(text, lang)
+        if q >= threshold_scaled:
+            return text, name, q, True
+        last = (text, name, q)
+    if last is not None:
+        return last[0], last[1], last[2], False
+    return "", "", 0, False
+
+
 def quality_score_scaled(text: str, lang: str | None) -> int:
     """Integerized reference quality formula (assessor.py:70-119 with the
     transformer scorer absent → renormalized over length 0.3 + language 0.4):
@@ -92,38 +172,52 @@ def quality_score_scaled(text: str, lang: str | None) -> int:
 
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, lang string, content_hash string, "
-    "extracted_text string, title string, quality_scaled int, extract_error string"
+    "extracted_text string, title string, extractor string, "
+    "quality_scaled int, extract_error string"
 )
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
-    """pages(url, warc_ts, html, lang, ...) → extraction columns.
+def extract_pages(
+    pages: DataFrame,
+    cascade_threshold: int = 0,
+    domain_overrides: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, lang, ...) → extraction columns via the
+    gated cascade (P6). The default threshold 0 accepts the first non-empty
+    tier (strict wins when it extracts anything); pass
+    ``cascade_threshold=REFERENCE_GATE_SCALED`` for the reference's 0.6 gate.
 
     Per-row failures never kill the job: errors land in `extract_error`
     (dead-letter semantics of the reference's per-stage circuit breaker,
-    pipeline.py:858-877) and the row survives with empty text.
+    pipeline.py:858-877) and the row survives with empty text; tier outputs
+    that all fail the gate are kept with extract_error='quality_gate'.
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            hashes, extracted, titles, quality, errors = [], [], [], [], []
-            for raw, lang in zip(pdf["html"], pdf["lang"]):
+            hashes, extracted, titles, tiers, quality, errors = [], [], [], [], [], []
+            for url, raw, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 try:
                     c = canonicalize_html(raw)
-                    t = extract_main_text(raw)
+                    t, tier, q, accepted = cascade_extract(
+                        raw, url=url, lang=lang,
+                        threshold_scaled=cascade_threshold,
+                        overrides=domain_overrides,
+                    )
                     ti = extract_title(raw)
-                    q = quality_score_scaled(t, lang)
-                    err = None
+                    err = None if accepted or not t else "quality_gate"
                 except Exception as e:  # noqa: BLE001 — dead-letter, not crash
-                    c, t, ti, q, err = "", "", None, 0, f"{type(e).__name__}: {e}"
+                    c, t, ti, tier, q = "", "", None, "", 0
+                    err = f"{type(e).__name__}: {e}"
                 # sha256 of canonical text computed HERE so the canonical
                 # text itself (≈ the whole page) never leaves the stage —
                 # downstream frames stay slim (same hex as F.sha2(..., 256))
                 hashes.append(hashlib.sha256(c.encode("utf-8")).hexdigest())
                 extracted.append(t)
                 titles.append(ti)
+                tiers.append(tier)
                 quality.append(q)
                 errors.append(err)
             yield pd.DataFrame(
@@ -134,6 +228,7 @@ def extract_pages(pages: DataFrame) -> DataFrame:
                     "content_hash": hashes,
                     "extracted_text": extracted,
                     "title": titles,
+                    "extractor": tiers,
                     "quality_scaled": pd.array(quality, dtype="int32"),
                     "extract_error": errors,
                 }

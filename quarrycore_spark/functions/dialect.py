@@ -85,8 +85,12 @@ def _seq0(n_expr: str, dialect: str) -> str:
 def char_shingles(expr: str, k: int, dialect: str) -> str:
     """Distinct char k-shingles of a normalized text expression.
 
-    Degenerate rule: len(text) < k → single shingle = whole text
-    (reference minhash_redis.py:172-173).
+    Degenerate rule: len(text) < k → single shingle = whole text — a
+    deliberate extension of the reference's short-text rule
+    (minhash_redis.py:172-173) to empty/whitespace-collapsed texts, where
+    the reference instead yields an empty set and makes all degenerate docs
+    mutual near-dups (see operators/signatures.py:char_shingles for the
+    full rationale). Both engines and the recall simulator share this rule.
     """
     body = _transform(
         _seq0(f"length({expr}) - {k}", dialect),

@@ -113,6 +113,26 @@ def optimal_param(
 
 
 DS_SIG_SCHEMA = "doc_id bigint, ds_sig array<bigint>"
+DS_BANDED_SCHEMA = (
+    "doc_id bigint, content_hash string, sig array<bigint>, bands array<bigint>"
+)
+
+_BAND_MULT = 1000003
+_M31 = (1 << 31) - 1
+
+
+def band_hashes(sig: np.ndarray, n_bands: int, n_rows: int) -> np.ndarray:
+    """Band hashes over a signature: order-sensitive polynomial fold of each
+    r-slot slice mod the 31-bit Mersenne prime (the hash of datasketch's
+    per-band byte-tuple keys, minhash_lsh.py bucket keys — any deterministic
+    injective-enough fold yields the same candidate set)."""
+    out = np.empty(n_bands, dtype=np.int64)
+    for i in range(n_bands):
+        acc = int(sig[i * n_rows]) % _M31
+        for s in sig[i * n_rows + 1 : (i + 1) * n_rows]:
+            acc = (acc * _BAND_MULT + int(s)) % _M31
+        out[i] = acc
+    return out
 
 
 def with_datasketch_signatures(
@@ -122,21 +142,42 @@ def with_datasketch_signatures(
     seed: int = DS_SEED,
     id_col: str = "doc_id",
     text_col: str = "text",
+    banding: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Arrow-batched datasketch-scheme signatures over the same normalized
-    7-char shingles as the default family."""
+    7-char shingles as the default family.
+
+    With ``banding=(b, r)`` (e.g. from ``optimal_param``), emits the
+    (doc_id, content_hash, sig, bands) shape the LSH operators
+    (operators/lsh.py verified_pairs / candidate_pairs) consume — a drop-in
+    signature family for the pipeline's near-dup stage."""
+    import hashlib as _hl
+
     from quarrycore_spark.operators.signatures import char_shingles, normalize_text
 
     a, b = permutations(num_perm, seed)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            nts = [normalize_text(t) for t in pdf[text_col].astype(str)]
             sigs = [
-                minhash_signature(
-                    char_shingles(normalize_text(t), shingle_size), a, b
-                )
-                for t in pdf[text_col].astype(str)
+                minhash_signature(char_shingles(nt, shingle_size), a, b)
+                for nt in nts
             ]
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "ds_sig": sigs})
+            if banding is None:
+                yield pd.DataFrame({"doc_id": pdf[id_col].values, "ds_sig": sigs})
+            else:
+                nb, nr = banding
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].values,
+                        "content_hash": [
+                            _hl.sha256(nt.encode("utf-8")).hexdigest() for nt in nts
+                        ],
+                        "sig": sigs,
+                        "bands": [band_hashes(s, nb, nr) for s in sigs],
+                    }
+                )
 
-    return docs.select(id_col, text_col).mapInPandas(compute, schema=DS_SIG_SCHEMA)
+    schema = DS_SIG_SCHEMA if banding is None else DS_BANDED_SCHEMA
+    return docs.select(id_col, text_col).mapInPandas(compute, schema=schema)

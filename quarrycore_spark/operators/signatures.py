@@ -51,7 +51,18 @@ def normalize_text(text: str) -> str:
 
 
 def char_shingles(nt: str, k: int) -> list[str]:
-    """Distinct char k-shingles; len(text)<k → {text} (minhash_redis.py:172)."""
+    """Distinct char k-shingles; len(text)<k → {text}.
+
+    DELIBERATE deviation from the reference (minhash_redis.py:162-184): the
+    reference returns an EMPTY set for empty text and for raw-length>=k
+    texts whose normalized length < k (its loop range goes negative), which
+    gives all such degenerate docs identical init-value signatures — i.e.
+    every whitespace-heavy/short doc becomes a mutual near-dup. This repo
+    extends the reference's own short-text rule ({text} for short inputs)
+    to those cases instead, so degenerate docs get content-based signatures
+    and only true duplicates collide. The SQL dialect (dialect.char_shingles)
+    and the recall simulator (tests/test_pipeline.py) encode the same rule,
+    so recall parity is measured against consistent semantics."""
     if len(nt) < k:
         return [nt]
     return list(dict.fromkeys(nt[i : i + k] for i in range(len(nt) - k + 1)))
@@ -109,9 +120,14 @@ def doc_signature(
     nt = normalize_text(text)
     ch = hashlib.sha256(nt.encode("utf-8")).hexdigest()
     if family == "poly":
+        # hu is already unique (np.unique in _poly_shingle_hashes). The
+        # derived hs31/hs60 sets are deliberately NOT re-uniqued: minhash is
+        # invariant to duplicates, and the simhash majority uses len(hu) as
+        # its denominator — bit-identical to _batch_signatures_poly, which
+        # processes concatenated per-doc segments and cannot re-unique.
         hu = _poly_shingle_hashes(nt, cfg.shingle_size)
-        hs31 = np.unique((hu % np.uint64(MERSENNE_31)).astype(np.int64))
-        hs60 = np.unique((hu >> np.uint64(4)).astype(np.int64) & ((1 << cfg.simhash_bits) - 1))
+        hs31 = (hu % np.uint64(MERSENNE_31)).astype(np.int64)
+        hs60 = (hu >> np.uint64(4)).astype(np.int64) & ((1 << cfg.simhash_bits) - 1)
         sig = ((hs31[:, None] * a[None, :] + b[None, :]) % MERSENNE_31).min(axis=0)
         bands = np.empty(cfg.lsh_bands, dtype=np.int64)
         for i in range(cfg.lsh_bands):
@@ -122,7 +138,7 @@ def doc_signature(
         bits = (hs60[:, None] >> np.arange(cfg.simhash_bits)[None, :]) & 1
         ones = bits.sum(axis=0)
         simhash = int(
-            ((2 * ones > len(hs60)).astype(np.int64) << np.arange(cfg.simhash_bits)).sum()
+            ((2 * ones > len(hu)).astype(np.int64) << np.arange(cfg.simhash_bits)).sum()
         )
         return ch, sig, bands, simhash
     sh = char_shingles(nt, cfg.shingle_size)

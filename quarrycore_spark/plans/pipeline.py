@@ -247,9 +247,17 @@ def run_pipeline(
         resume, checkpoint, stage_counts,
     )
 
-    # ---- stage 6: final labeled docs table (D15, D17) ---------------------
+    # ---- stage 6: final labeled docs table (D15, D12, D17, P14-lite) ------
+    # duplicate_type follows the reference ladder (fuzzy_matcher.py:200-211):
+    # exact > near_exact (sim>=.95) > very_similar (>=.90) > minhash >
+    # simhash > unique; `domain` mirrors the urlparse fields the reference
+    # pipeline wires into every stored doc (pipeline.py:680-692).
     def build_final():
-        mh_b = mh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_mh", F.lit(True))
+        mh_b = (
+            mh_pairs.groupBy(F.col("b_id").alias("doc_id"))
+            .agg(F.max("score").alias("best_agree"))
+            .withColumn("t_mh", F.lit(True))
+        )
         sh_b = sh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_sh", F.lit(True))
         meta = extracted.select(
             "doc_id", "lang", "extracted_text", "title", "quality_scaled", "extract_error"
@@ -261,9 +269,20 @@ def run_pipeline(
             .join(sh_b, "doc_id", "left")
             .select(
                 "doc_id", "url", "warc_ts", "lang", "content_hash",
+                F.parse_url("url", F.lit("HOST")).alias("domain"),
                 "extracted_text", "title", "quality_scaled", "extract_error",
                 F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
                 F.when(~F.col("is_exact_canonical"), "exact")
+                .when(
+                    F.col("t_mh")
+                    & (F.col("best_agree") * 100 >= cfg.num_perm * 95),
+                    "near_exact",
+                )
+                .when(
+                    F.col("t_mh")
+                    & (F.col("best_agree") * 100 >= cfg.num_perm * 90),
+                    "very_similar",
+                )
                 .when(F.col("t_mh"), "minhash")
                 .when(F.col("t_sh"), "simhash")
                 .otherwise("unique")

@@ -464,11 +464,13 @@ _bktm AS (SELECT b.doc_id, b.band_idx, b.band_hash FROM _bx b
           JOIN _capm c ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash),
 _candm AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM _bktm a JOIN _bktm b
            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-_mh AS (
-  SELECT c.a_id AS u, c.b_id AS v FROM _candm c
+_mh0 AS (
+  SELECT c.a_id AS u, c.b_id AS v,
+         {D.sig_agreement('sa.sig', 'sb.sig', CFG.num_perm, dialect)} AS agree
+  FROM _candm c
   JOIN _sig sa ON sa.doc_id = c.a_id JOIN _sig sb ON sb.doc_id = c.b_id
-  WHERE 100 * {D.sig_agreement('sa.sig', 'sb.sig', CFG.num_perm, dialect)} >= {thresh}
 ),
+_mh AS (SELECT u, v, agree FROM _mh0 WHERE 100 * agree >= {thresh}),
 _sbx AS (SELECT doc_id, simhash, {D.posexplode(bands_arr, 'band_idx', 'band_val', dialect)} FROM _sim),
 _caps AS (SELECT band_idx, band_val FROM _sbx GROUP BY band_idx, band_val
           HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}),
@@ -545,15 +547,23 @@ register(
 
 
 def _dedup_labels_sql(dialect: str) -> str:
-    """D15: multi-level combine — per-doc is_duplicate + duplicate_type with
-    stage priority exact > minhash > simhash (deduplicator.py:380-390)."""
+    """D15+D12: multi-level combine — per-doc is_duplicate + duplicate_type
+    with stage priority exact > minhash > simhash (deduplicator.py:380-390),
+    and the minhash tier split by the reference's similarity ladder
+    (fuzzy_matcher.py:200-211): sim >= .95 → near_exact, >= .90 →
+    very_similar, else minhash. Integer thresholds over the best signature
+    agreement (agree*100 vs num_perm*pct)."""
+    ne = CFG.num_perm * 95
+    vs = CFG.num_perm * 90
     return f"""
 WITH {_edges_sql(dialect)},
 _exb AS (SELECT DISTINCT v FROM _ex),
-_mhb AS (SELECT DISTINCT v FROM _mh),
+_mhb AS (SELECT v, max(agree) AS best_agree FROM _mh GROUP BY v),
 _shb AS (SELECT DISTINCT v FROM _sh_pairs)
 SELECT d.doc_id,
   CASE WHEN e.v IS NOT NULL THEN 'exact'
+       WHEN m.v IS NOT NULL AND 100 * m.best_agree >= {ne} THEN 'near_exact'
+       WHEN m.v IS NOT NULL AND 100 * m.best_agree >= {vs} THEN 'very_similar'
        WHEN m.v IS NOT NULL THEN 'minhash'
        WHEN s.v IS NOT NULL THEN 'simhash'
        ELSE 'unique' END AS duplicate_type,
@@ -583,8 +593,8 @@ def _spark_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mh = (
         verified_pairs(sigs, CFG, LSH_BUCKET_CAP)
-        .select(F.col("b_id").alias("doc_id"))
-        .distinct()
+        .groupBy(F.col("b_id").alias("doc_id"))
+        .agg(F.max("agree_cnt").alias("best_agree"))
         .withColumn("t_minhash", F.lit(True))
     )
     sh = (
@@ -601,6 +611,14 @@ def _spark_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.when(F.col("t_exact"), "exact")
+            .when(
+                F.col("t_minhash") & (F.col("best_agree") * 100 >= CFG.num_perm * 95),
+                "near_exact",
+            )
+            .when(
+                F.col("t_minhash") & (F.col("best_agree") * 100 >= CFG.num_perm * 90),
+                "very_similar",
+            )
             .when(F.col("t_minhash"), "minhash")
             .when(F.col("t_simhash"), "simhash")
             .otherwise("unique")

@@ -43,6 +43,75 @@ FROM _docs
 register(Query("token_counts", "P9/D5: token + word counting", _token_counts))
 
 
+def _content_metrics(dialect: str) -> str:
+    """P9+P10: sentence/paragraph counts, reading time, lexical diversity,
+    and the simplified Flesch reading-ease score — the reference's
+    _calculate_content_metrics + _calculate_readability
+    (cascade_extractor.py:685-735), integerized:
+
+    * reading_time_ms = words * 300 (words/200 wpm, in exact milliseconds);
+    * lexical diversity as the exact fraction (distinct_lower, n_words);
+    * flesch_milli = 206835 - 1015*ASL - 84600*ASW with ASL/ASW as
+      millis-scaled integer divisions, clamped to [0, 100000] — identical
+      integer ops in both engines (reference formula: 206.835 - 1.015*ASL
+      - 84.6*ASW, syllables = per-word max(1, vowel count)).
+
+    Computed over the RAW text (the reference operates pre-normalization;
+    paragraph splits need the newlines that normalization collapses)."""
+    if dialect == SPARK:
+        words = "filter(split(text, '\\\\s+'), w -> w != '')"
+        sent = "size(filter(split(text, '[.!?]+'), s -> trim(s) != ''))"
+        para = "size(filter(split(text, '\\\\n\\\\s*\\\\n'), p -> trim(p) != ''))"
+        syll = (
+            "aggregate(ws, 0L, (acc, w) -> acc + greatest(1L, "
+            "cast(length(regexp_replace(w, '[^aeiouAEIOU]', '')) as bigint)))"
+        )
+        n_words = "size(ws)"
+        distinct_lower = "size(array_distinct(transform(ws, w -> lower(w))))"
+    else:
+        words = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
+        sent = "len(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != ''))"
+        para = "len(list_filter(regexp_split_to_array(text, '\\n\\s*\\n'), p -> trim(p) != ''))"
+        syll = (
+            "list_sum(list_transform(ws, w -> greatest(1, "
+            "length(regexp_replace(w, '[^aeiouAEIOU]', '', 'g')))))::BIGINT"
+        )
+        n_words = "len(ws)"
+        distinct_lower = "len(list_distinct(list_transform(ws, w -> lower(w))))"
+    asl = D.idiv("1000 * n_words", "sentence_cnt", dialect)
+    asw = D.idiv("1000 * syllables", "n_words", dialect)
+    raw = (
+        f"206835 - {D.idiv(f'1015 * ({asl})', '1000', dialect)}"
+        f" - {D.idiv(f'84600 * ({asw})', '1000', dialect)}"
+    )
+    flesch = (
+        f"CASE WHEN n_words = 0 OR sentence_cnt = 0 THEN 0 "
+        f"ELSE greatest(0, least(100000, {raw})) END"
+    )
+    return f"""
+WITH _w AS (SELECT doc_id, text, {words} AS ws FROM documents),
+_m AS (
+  SELECT doc_id, {n_words} AS n_words, {sent} AS sentence_cnt,
+         {para} AS paragraph_cnt, {distinct_lower} AS distinct_lower,
+         {syll} AS syllables
+  FROM _w
+)
+SELECT doc_id, n_words, sentence_cnt, paragraph_cnt,
+       n_words * 300 AS reading_time_ms, distinct_lower, syllables,
+       {flesch} AS flesch_milli
+FROM _m
+"""
+
+
+register(
+    Query(
+        "content_metrics",
+        "P9/P10: sentence/paragraph counts, reading time, Flesch (integerized)",
+        _content_metrics,
+    )
+)
+
+
 def _text_quality(dialect: str) -> str:
     """P11/P12 integerized: reference weights length 0.3, language 0.4,
     coherence 0.3 with renormalization when a scorer is unavailable
@@ -79,13 +148,26 @@ _LANG_WORDLISTS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
     "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+    "it": ["il", "di", "che", "e", "un", "per", "con", "non", "sono", "della"],
+    "pt": ["o", "de", "que", "e", "do", "da", "em", "um", "para", "não"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet"],
+    "pl": ["i", "w", "nie", "na", "się", "z", "do", "to", "że", "jest"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med"],
+    "ru": ["и", "в", "не", "на", "я", "что", "с", "по", "это", "как"],
 }
+
+# Confidence floor: fewer than this many distinct stopword hits for the best
+# language ⇒ 'und' — the vote-count analogue of the reference detector's
+# min-confidence threshold (language_detector.py: results below the floor
+# are rejected rather than guessed).
+MIN_LANG_VOTES = 2
 
 
 def _lang_id(dialect: str) -> str:
-    """P8: stopword-vote language ID (n-gram-heuristic analogue of the
-    reference's fastText detector, language_detector.py — same contract:
-    top-1 vote with deterministic tie-break en>de>es>fr, 'und' if 0)."""
+    """P8: stopword-vote language ID over 10 languages (n-gram-heuristic
+    analogue of the reference's fastText lid.176 detector,
+    language_detector.py — same contract: top-1 vote with a deterministic
+    tie-break in declaration order, 'und' below the confidence floor)."""
     if dialect == SPARK:
         words = "array_distinct(split(nt, ' '))"
 
@@ -103,15 +185,18 @@ def _lang_id(dialect: str) -> str:
     vote_cols = ", ".join(f"{hits(lg)} AS v_{lg}" for lg in langs)
     clauses = []
     for lg in langs:
-        conds = [f"v_{lg} > 0"] + [f"v_{lg} >= v_{o}" for o in langs if o != lg]
+        conds = [f"v_{lg} >= {MIN_LANG_VOTES}"] + [
+            f"v_{lg} >= v_{o}" for o in langs if o != lg
+        ]
         clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
     best = " ".join(clauses)
+    out_votes = ", ".join(f"v_{lg}" for lg in langs)
     return f"""
 WITH {P.doc_norm(dialect, CFG)},
 _w AS (SELECT doc_id, {words} AS ws FROM _docs),
 _v AS (SELECT doc_id, {vote_cols} FROM _w)
 SELECT doc_id, CASE {best} ELSE 'und' END AS lang_guess,
-       v_en, v_de, v_es, v_fr
+       {out_votes}
 FROM _v
 """
 

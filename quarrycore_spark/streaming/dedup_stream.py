@@ -39,9 +39,16 @@ class ForeachBatchDedup:
     """Cross-batch exact dedup with a persistent seen-hash state table.
 
     Each micro-batch: canonicalize+hash, drop rows whose hash exists in the
-    state table (left-anti join), select first-per-hash within the batch by
-    (warc_ts, url), append survivors to the output and their hashes to the
-    state. Exactly-once per epoch_id via idempotent overwrite-by-epoch dirs.
+    state of PRIOR epochs (left-anti join), select first-per-hash within the
+    batch by (warc_ts, url), overwrite the epoch's output dir and the
+    epoch's own state subdir.
+
+    Exactly-once under replay: state lives in per-epoch subdirs
+    (``state_dir/epoch=N``) and the anti-join reads every epoch EXCEPT the
+    current one — so a replay of epoch N (crash between the state write and
+    the streaming checkpoint commit) sees exactly the pre-N state again and
+    deterministically rewrites the same output, instead of anti-joining
+    against its own first attempt and silently emitting an empty epoch.
     """
 
     def __init__(self, state_dir: str, out_dir: str):
@@ -50,18 +57,22 @@ class ForeachBatchDedup:
         os.makedirs(state_dir, exist_ok=True)
         os.makedirs(out_dir, exist_ok=True)
 
-    def _state(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self.state_dir)
-        except Exception:  # noqa: BLE001 — empty state on first batch
+    def _state(self, spark: SparkSession, exclude_epoch: int) -> DataFrame | None:
+        paths = [
+            os.path.join(self.state_dir, d)
+            for d in sorted(os.listdir(self.state_dir))
+            if d.startswith("epoch=") and d != f"epoch={exclude_epoch}"
+        ]
+        if not paths:
             return None
+        return spark.read.parquet(*paths)
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window as W
 
         spark = batch.sparkSession
         hashed = extract_pages(batch)  # emits content_hash directly
-        state = self._state(spark)
+        state = self._state(spark, exclude_epoch=epoch_id)
         if state is not None:
             hashed = hashed.join(
                 state.select("content_hash"), "content_hash", "left_anti"
@@ -72,7 +83,10 @@ class ForeachBatchDedup:
             .filter("rn = 1")
             .drop("rn")
         )
+        firsts = firsts.localCheckpoint()  # compute once for both writes
         firsts.write.mode("overwrite").parquet(
             os.path.join(self.out_dir, f"epoch={epoch_id}")
         )
-        firsts.select("content_hash").write.mode("append").parquet(self.state_dir)
+        firsts.select("content_hash").write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"epoch={epoch_id}")
+        )

@@ -74,3 +74,27 @@ def compare_query(spark, name: str, sf_dir: str = SF_CORRECT):
 def test_oracle_parity(spark, name):
     n = compare_query(spark, name)
     print(f"{name}: {n} rows OK")
+
+
+def test_release_discipline_storage_stable(spark):
+    """Three consecutive full dedup-registry runs with release between them
+    leave zero persisted RDDs — no storage leak in a long-lived session."""
+    from quarrycore_spark.operators._cache import release_tracked
+    from quarrycore_spark.plans.registry import REGISTRY, release_sigs
+
+    def persisted_count():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # other tests in the session may hold localCheckpoint RDDs; what must
+    # stay flat is the DELTA added by repeated registry runs
+    release_tracked()
+    release_sigs(spark)
+    baseline = persisted_count()
+    for _ in range(3):
+        for name in ("minhash_verified_pairs", "simhash_pairs", "dedup_labels"):
+            REGISTRY[name].run_spark(spark, SF_CORRECT).count()
+        assert persisted_count() > baseline  # the run does persist
+        release_tracked()
+        released = release_sigs(spark)
+        assert released >= 1
+        assert persisted_count() == baseline, "persisted RDDs leaked after release"

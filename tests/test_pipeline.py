@@ -199,3 +199,124 @@ def test_pipeline_lineage_and_metrics(pipeline_result):
     assert 0 < summary["duplicate_docs"] < N_PAGES
     lin = res.lineage.collect()
     assert sum(r["rows"] for r in lin if r["stage"] == "docs_dedup") == N_PAGES
+
+
+def test_cascade_quality_gate_and_overrides():
+    """P6 gating semantics (manager.py:119-237): accept the first tier whose
+    quality >= threshold; fall through otherwise; per-domain cascade-order
+    overrides resolve by exact then suffix match (manager.py:87-117)."""
+    from quarrycore_spark.extraction.canonical import (
+        REFERENCE_GATE_SCALED,
+        cascade_extract,
+        resolve_cascade_order,
+    )
+
+    filler = "lorem ipsum dolor sit amet " * 30  # > 400 chars of chrome text
+    html = (
+        f"<html><head><title>t</title></head><body>"
+        f"<nav>{filler}</nav><p>short main body</p></body></html>"
+    ).encode()
+
+    # tier 1 (strict) drops the nav => short text => quality 57 < 60;
+    # tier 2 (lenient) keeps it => len > 400 => quality 100 >= 60
+    text, tier, q, accepted = cascade_extract(
+        html, url="https://a.example.org/x", lang="en",
+        threshold_scaled=REFERENCE_GATE_SCALED,
+    )
+    assert accepted and tier == "lenient" and q >= 60
+    assert "lorem ipsum" in text
+
+    # threshold 0: first non-empty tier (strict) wins
+    text0, tier0, _, acc0 = cascade_extract(html, lang="en", threshold_scaled=0)
+    assert acc0 and tier0 == "strict" and "lorem ipsum" not in text0
+
+    # every tier below gate -> best attempt returned, accepted=False
+    tiny = b"<body><p>tiny</p></body>"
+    _, _, _, acc_tiny = cascade_extract(
+        tiny, lang="de", threshold_scaled=REFERENCE_GATE_SCALED
+    )
+    assert not acc_tiny
+
+    # per-domain override: exact and subdomain-suffix matches
+    ov = {"example.com": ("lenient",)}
+    assert resolve_cascade_order("https://example.com/a", ov) == ("lenient",)
+    assert resolve_cascade_order("https://www.example.com/a", ov) == ("lenient",)
+    assert resolve_cascade_order("https://other.net/a", ov) == ("strict", "lenient")
+    # override respected end-to-end
+    _, tier_ov, _, _ = cascade_extract(
+        html, url="https://www.example.com/a", lang="en",
+        threshold_scaled=0, overrides=ov,
+    )
+    assert tier_ov == "lenient"
+
+
+def test_pipeline_recall_datasketch_family(spark, corpus):
+    """North-rule fidelity gate under the reference's ACTUAL signature
+    scheme (datasketch: sha1→uint32, (a*h+b) mod 2^61-1, seed=1 —
+    minhash_redis.py:186-202) with its S-curve-optimal banding, not just
+    the repo's poly family: arrival-order simulator vs the Spark LSH
+    operators, dup-pair recall >= 0.99."""
+    import hashlib
+
+    from quarrycore_spark.operators.datasketch_compat import (
+        band_hashes,
+        minhash_signature,
+        optimal_param,
+        permutations,
+        with_datasketch_signatures,
+    )
+    from quarrycore_spark.operators.lsh import verified_pairs
+    from quarrycore_spark.operators.signatures import char_shingles, normalize_text
+
+    nb, nr = optimal_param(CFG.jaccard_threshold_pct / 100, CFG.num_perm)
+    a, b = permutations(CFG.num_perm)
+
+    # exact layer (shared semantics): arrival-order first-writer-wins
+    order = sorted(
+        range(len(corpus)), key=lambda i: (corpus[i].warc_ts, corpus[i].url)
+    )
+    hash_first: dict[str, int] = {}
+    survivors = []
+    for i in order:
+        ch = hashlib.sha256(
+            canonicalize_html(corpus[i].html).encode("utf-8")
+        ).hexdigest()
+        if ch not in hash_first:
+            hash_first[ch] = i
+            survivors.append(i)
+
+    # reference-semantics near-dup layer: query-before-insert, ds scheme
+    buckets: dict[tuple[int, int], list[int]] = {}
+    sigs: dict[int, np.ndarray] = {}
+    ref_pairs = set()
+    for i in survivors:
+        sig = minhash_signature(
+            char_shingles(normalize_text(corpus[i].text), CFG.shingle_size), a, b
+        )
+        bands = band_hashes(sig, nb, nr)
+        cands = set()
+        for bi, bh in enumerate(bands):
+            cands.update(buckets.get((bi, int(bh)), ()))
+        for j in cands:
+            agree = int((sigs[j] == sig).sum())
+            if agree * 100 >= CFG.num_perm * CFG.jaccard_threshold_pct:
+                ref_pairs.add((j, i))
+        sigs[i] = sig
+        for bi, bh in enumerate(bands):
+            buckets.setdefault((bi, int(bh)), []).append(i)
+    assert ref_pairs, "simulator should find near-dups under the ds scheme"
+
+    # Spark job, same family + banding, through the production LSH operators
+    sdf = spark.createDataFrame(
+        [(i, corpus[i].text) for i in survivors], "doc_id long, text string"
+    )
+    ds = with_datasketch_signatures(
+        sdf, CFG.shingle_size, CFG.num_perm, banding=(nb, nr)
+    )
+    got = {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        for r in verified_pairs(ds, CFG).collect()
+    }
+    found = sum(1 for (j, i) in ref_pairs if (min(i, j), max(i, j)) in got)
+    recall = found / len(ref_pairs)
+    assert recall >= 0.99, f"ds-family recall {recall:.4f} ({found}/{len(ref_pairs)})"

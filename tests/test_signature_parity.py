@@ -113,3 +113,27 @@ def test_shingles_short_text_rule():
     assert char_shingles("", 7) == [""]
     assert char_shingles("exactly", 7) == ["exactly"]
     assert char_shingles("exactly7", 7) == ["exactly", "xactly7"]
+
+
+def test_batch_vs_per_doc_poly_parity():
+    """_batch_signatures_poly must be bit-identical to per-doc
+    doc_signature(family='poly') — sig, bands, simhash, content hash —
+    including degenerate docs and the sub-batch chunking path."""
+    from quarrycore_spark.operators.signatures import _batch_signatures_poly
+
+    a = np.array([p[0] for p in CFG.minhash_perms], dtype=np.int64)
+    b = np.array([p[1] for p in CFG.minhash_perms], dtype=np.int64)
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(1, 200)).tolist())
+        for _ in range(40)
+    ]
+    texts += ["", "ab", "exactly", "  spaces   and\ttabs \n newlines  "]
+    ch_b, sig_b, bands_b, sim_b = _batch_signatures_poly(texts, CFG, a, b)
+    for j, t in enumerate(texts):
+        ch, sig, bands, sim = doc_signature(t, CFG, a, b, family="poly")
+        assert ch == ch_b[j], j
+        assert (sig == sig_b[j]).all(), j
+        assert (bands == bands_b[j]).all(), j
+        assert sim == sim_b[j], (j, sim, sim_b[j])

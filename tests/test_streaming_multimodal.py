@@ -63,6 +63,19 @@ def test_foreach_batch_cross_batch_dedup(spark, pages_parquet, tmp_path):
 
     full = extract_pages(static).select("content_hash").distinct().count()
     assert n == full
+    # replay idempotence: rerunning epoch 1 (crash-after-state-write
+    # scenario) must NOT anti-join against its own state — the epoch dir is
+    # rewritten with the identical survivor set, never emptied
+    before = sorted(
+        r["content_hash"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "epoch=1")).collect()
+    )
+    sink(halves[1], 1)
+    after = sorted(
+        r["content_hash"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "epoch=1")).collect()
+    )
+    assert before == after and len(after) > 0
 
 
 def test_multimodal_features_and_dedup(spark):
