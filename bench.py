@@ -32,7 +32,11 @@ BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 # scale corpus = BENCH_PAGES * SCALE_FACTOR docs) and comparing local[N]
 # vs local[4N] — see BENCH.md for methodology and per-stage numbers.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "8"))
+# 16× replication (320k docs): large enough that the compute stages
+# (extraction + signatures, ~85% of the 1-core wall) dominate the fixed
+# per-stage overhead that this sandbox's serialized page-fault handling
+# inflates — the regime a 100 TB corpus is always in.
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "16"))
 
 HEADLINE = [
     "exact_dedup",
@@ -49,6 +53,11 @@ HEADLINE = [
     "embedding_dup_pairs",
     "ann_topk",
     "ann_lsh_pairs",
+    "content_metrics",
+    "source_dedup_stats",
+    "event_props_metadata",
+    "stratified_sample",
+    "windowed_event_counts",
 ]
 
 

@@ -365,6 +365,48 @@ register(
 )
 
 
+def _windowed_event_counts(dialect: str) -> str:
+    """Event-time tumbling-window aggregation (1-hour buckets) per event
+    type — the batch expression of the streaming windowed-agg surface
+    (SURVEY §2.10; reference's sliding-window failure tracking,
+    pipeline.py:66-110). Values quantized floor(v*1000+0.5) so the sum is
+    integer-exact in both engines."""
+    if dialect == SPARK:
+        pre = (
+            "SELECT cast(ts as timestamp) AS ts, event_type, "
+            "cast(floor(cast(value as double) * 1000 + 0.5) as bigint) AS v_q "
+            "FROM events"
+        )
+        win = "unix_millis(window.start)"
+        grp = "window(ts, '1 hour'), event_type"
+        vsum = "sum(v_q)"
+    else:
+        pre = (
+            "SELECT ts, event_type, "
+            "floor(value::DOUBLE * 1000 + 0.5)::BIGINT AS v_q FROM events"
+        )
+        win = "epoch_ms(date_trunc('hour', ts))"
+        grp = "date_trunc('hour', ts), event_type"
+        vsum = "sum(v_q)::BIGINT"
+    return f"""
+WITH _e AS ({pre})
+SELECT {win} AS window_start_ms, event_type,
+       count(*) AS n_events, {vsum} AS value_sum_q
+FROM _e
+GROUP BY {grp}
+"""
+
+
+register(
+    Query(
+        "windowed_event_counts",
+        "§2.10 batch analogue: 1-hour tumbling-window event aggregation",
+        _windowed_event_counts,
+        tables=("events",),
+    )
+)
+
+
 def _top_quality_docs(dialect: str) -> str:
     """SURVEY §2.7 top-k: highest-quality docs with deterministic tiebreak —
     the batch form of the reference's quality-weighted sampler
