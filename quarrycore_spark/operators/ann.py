@@ -36,6 +36,8 @@ from pyspark.sql.window import Window
 
 from quarrycore_spark.plans.vectorops import (
     ANN_K,
+    CENT_STRIDE,
+    IVF_NPROBE,
     LSH_BANDS,
     LSH_COS_PCT,
     LSH_PLANES_PER_BAND,
@@ -213,6 +215,144 @@ def ann_topk(
         partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score_q", "rnk")
+    )
+
+
+MAX_BROADCAST_CENTROIDS = 200_000
+
+
+def _int_scores(dots: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """sign(dot)·(dot²·10⁵ intdiv na·nb), elementwise; na broadcast over rows,
+    nb over columns. All products stay inside int64 (dot²·1e5 <= 3.3e18)."""
+    pos = (dots * dots * 100000) // (na[:, None] * nb[None, :])
+    return np.where(dots < 0, -pos, pos).astype(np.int64)
+
+
+def _collect_centroids(
+    qv: DataFrame, stride: int = CENT_STRIDE, cap: int = MAX_BROADCAST_CENTROIDS
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The deterministic coarse codebook: every stride-th vector. A real
+    100 TB deployment trains a fixed-size codebook (nlist ≈ √n); the stride
+    rule is the deterministic stand-in, hard-capped with a loud failure."""
+    rows = qv.filter(F.col("vec_id") % stride == 0).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"ivf: >{cap} centroids at stride={stride}; raise the stride — "
+            "refusing to broadcast an unbounded codebook"
+        )
+    rows.sort(key=lambda r: r["vec_id"])  # ascending cid = tie-break order
+    cids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    CQ = (
+        np.stack([np.asarray(r["q"], dtype=np.int64) for r in rows])
+        if rows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    cna = np.array([r["na"] for r in rows], dtype=np.int64)
+    return cids, CQ, cna
+
+
+def ivf_assignments(emb: DataFrame, stride: int = CENT_STRIDE) -> DataFrame:
+    """IVF coarse assignment: each vector → best centroid by quantized
+    cosine (ties → lowest centroid id). Broadcast codebook × partition scan;
+    identical integers to the SQL oracle (plans/vectorops._ivf_assign)."""
+    spark = emb.sparkSession
+    qv = quantized_frame(emb).filter(F.col("na") > 0)
+    b = spark.sparkContext.broadcast(_collect_centroids(qv, stride))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, CQ, cna = b.value
+        if len(cids) == 0:
+            return
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            Q = np.stack(pdf["q"].to_numpy())
+            na = pdf["na"].to_numpy(np.int64)
+            scores = _int_scores(Q @ CQ.T, na, cna)
+            # argmax returns the FIRST max → lowest cid (cids ascending)
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "centroid_id": cids[best],
+                    "centroid_score_q": scores[np.arange(len(ids)), best],
+                }
+            )
+
+    return qv.mapInPandas(
+        assign, schema="vec_id bigint, centroid_id bigint, centroid_score_q bigint"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = ANN_K,
+    stride: int = QUERY_STRIDE,
+    cent_stride: int = CENT_STRIDE,
+    nprobe: int = IVF_NPROBE,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """IVF probe-and-rerank top-k — the sub-linear search path: queries
+    probe their nprobe best centroids; only vectors ASSIGNED to those lists
+    are exact-reranked (a broadcast-join candidate cut of ~nlist/nprobe).
+    Same integer scores and tie-breaks as the SQL oracle."""
+    spark = emb.sparkSession
+    qv = quantized_frame(emb).filter(F.col("na") > 0)
+    cids, CQ, cna = _collect_centroids(qv, cent_stride)
+    qrows = qv.filter(F.col("vec_id") % stride == 0).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise RuntimeError(
+            f"ivf_topk: >{max_queries} query vectors at stride={stride}"
+        )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_Q = (
+        np.stack([np.asarray(r["q"], dtype=np.int64) for r in qrows])
+        if qrows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    q_na = np.array([r["na"] for r in qrows], dtype=np.int64)
+    # probe sets, computed once driver-side over the (small) codebook
+    probes = []
+    if len(q_ids) and len(cids):
+        qscores = _int_scores(q_Q @ CQ.T, q_na, cna)
+        for r in range(len(q_ids)):
+            order = np.lexsort((cids, -qscores[r]))[:nprobe]
+            probes.extend((int(q_ids[r]), int(cids[c])) for c in order)
+    probe_df = spark.createDataFrame(
+        probes or [(None, None)], "query_id long, centroid_id long"
+    )
+    if not probes:
+        probe_df = probe_df.filter(F.col("query_id").isNotNull())
+    asg = ivf_assignments(emb, cent_stride).select("vec_id", "centroid_id")
+    cand = (
+        asg.join(F.broadcast(probe_df), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .join(qv, "vec_id")
+    )
+    qmap = {int(q_ids[r]): (q_Q[r], int(q_na[r])) for r in range(len(q_ids))}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    def rerank(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        qvec, qn = bq.value[qid]
+        nid = pdf["vec_id"].to_numpy(np.int64)
+        Q = np.stack(pdf["q"].to_numpy())
+        nb = pdf["na"].to_numpy(np.int64)
+        d = Q @ qvec
+        pos = (d * d * 100000) // (qn * nb)
+        score = np.where(d < 0, -pos, pos).astype(np.int64)
+        order = np.lexsort((nid, -score))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(order), qid, dtype=np.int64),
+                "neighbor_id": nid[order],
+                "score_q": score[order],
+                "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        rerank, schema="query_id bigint, neighbor_id bigint, score_q bigint, rnk bigint"
     )
 
 

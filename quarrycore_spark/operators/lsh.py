@@ -2,37 +2,56 @@
 
 Spark-native replacement of the reference's Redis LSH index
 (minhash_redis.py:228-242): instead of per-doc band-bucket probes, the whole
-corpus is exploded to (band_idx, band_hash) rows, hot buckets are capped
-(the batch analogue of the reference's unbounded-bucket problem, SURVEY §4
-"domain backpressure" row), and candidates come from an equi self-join —
-pure shuffle, no index, AQE-salted when skewed.
+corpus is exploded to band-bucket rows, hot buckets are capped (the batch
+analogue of the reference's unbounded-bucket problem, SURVEY §4 "domain
+backpressure" row), and candidates come from an equi self-join — pure
+shuffle, no index, AQE-salted when skewed.
+
+Shuffle discipline (this is the shuffle-bound stage of the pipeline):
+* (band_idx, band_hash) is fused into ONE int64 key — band hashes are mod
+  2³¹−1, so `band_hash * n_bands + band_idx` is injective and fits — which
+  halves the join-key bytes crossing the wire;
+* the 2..cap bucket-size filter is a window count over the SAME partitioning
+  the self-join needs, so Catalyst reuses one exchange for the filter and
+  both join sides (one wide shuffle of the exploded rows total, vs a
+  groupBy + join + self-join chain's three).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
-from quarrycore_spark.operators._cache import track
 
 DEFAULT_BUCKET_CAP = 200
 
 
-def band_buckets(sigs: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
-    """sigs(doc_id, bands) → (doc_id, band_idx, band_hash), only buckets with
-    2..cap members (singleton buckets produce no pairs; mega-buckets are
-    boilerplate — dropped deterministically, counted in lineage)."""
-    bx = track(sigs.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
-    ))  # cap filter + both self-join sides reuse it; released via release_tracked()
-    keep = (
-        bx.groupBy("band_idx", "band_hash")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= cap))
-        .drop("count")
+def band_buckets(
+    sigs: DataFrame,
+    cap: int = DEFAULT_BUCKET_CAP,
+    bands_col: str = "bands",
+    n_bands: int = 16,
+) -> DataFrame:
+    """sigs(doc_id, bands) → (doc_id, bkey), only buckets with 2..cap
+    members (singleton buckets produce no pairs; mega-buckets are
+    boilerplate — dropped deterministically).
+
+    bkey fuses (band_idx, band_hash) into one int64; the size filter is a
+    window count so the exchange it introduces is reused by the self-join.
+    """
+    bx = sigs.select(
+        "doc_id", F.posexplode(bands_col).alias("band_idx", "band_hash")
+    ).select(
+        "doc_id",
+        (F.col("band_hash") * n_bands + F.col("band_idx")).alias("bkey"),
     )
-    return track(bx.join(keep, ["band_idx", "band_hash"]))
+    w = Window.partitionBy("bkey")
+    return (
+        bx.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= cap))
+        .drop("bsz")
+    )
 
 
 def candidate_pairs(sigs: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
@@ -43,8 +62,7 @@ def candidate_pairs(sigs: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

@@ -5,21 +5,25 @@ tiers (fuzzy_matcher.py:107-125, 200-211): a 60-bit SimHash over the same
 7-char shingles, paired by pigeonhole band blocking (hamming <= 3 over 4
 bands of 15 bits ⇒ at least one band equal) and verified with
 bit_count(xor) — pure JVM column expressions, no UDF.
+
+Same shuffle discipline as operators/lsh.py: one fused int64 bucket key
+(band_val < 2¹⁵, so `band_val * n_bands + band_idx` is injective) and a
+window-count cap filter whose exchange the self-join reuses.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
-from quarrycore_spark.operators._cache import track
 
 DEFAULT_BUCKET_CAP = 200
 
 
 def simhash_bands(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """sigs(doc_id, simhash) → (doc_id, simhash, band_idx, band_val)."""
+    """sigs(doc_id, simhash) → (doc_id, simhash, bkey) with the fused
+    pigeonhole bucket key."""
     width = cfg.simhash_bits // cfg.simhash_bands
     mask = (1 << width) - 1
     bands = F.array(
@@ -30,6 +34,10 @@ def simhash_bands(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFra
     )
     return sigs.select(
         "doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
+    ).select(
+        "doc_id",
+        "simhash",
+        (F.col("band_val") * cfg.simhash_bands + F.col("band_idx")).alias("bkey"),
     )
 
 
@@ -39,21 +47,19 @@ def simhash_pairs(
     cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """(a_id, b_id, hamming) for pairs at Hamming distance <= hamming_max."""
-    bx = track(simhash_bands(sigs, cfg))
-    keep = (
-        bx.groupBy("band_idx", "band_val")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= cap))
-        .drop("count")
+    w = Window.partitionBy("bkey")
+    bkt = (
+        simhash_bands(sigs, cfg)
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= cap))
+        .drop("bsz")
     )
-    bkt = track(bx.join(keep, ["band_idx", "band_val"]))
     a = bkt.alias("a")
     b = bkt.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+            (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

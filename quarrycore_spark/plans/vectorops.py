@@ -154,6 +154,145 @@ register(
 )
 
 
+CENT_STRIDE = 31  # vec_id % 31 == 0 are IVF coarse centroids
+IVF_NPROBE = 4
+
+
+def _centroid_cte(dialect: str) -> str:
+    """CTE `_cent`: the deterministic coarse codebook — every CENT_STRIDE-th
+    vector (codebook size grows with the corpus, like an IVF nlist)."""
+    return (
+        f"_cent AS (SELECT vec_id AS cid, q AS cq, na AS nc FROM _qv "
+        f"WHERE vec_id % {CENT_STRIDE} = 0 AND na > 0)"
+    )
+
+
+def _score(dot: str, na: str, nb: str, dialect: str) -> str:
+    """sign(dot) · (dot²·10⁵ intdiv na·nb) — the shared integer cosine score."""
+    div = "div" if dialect == SPARK else "//"
+    return (
+        f"CASE WHEN {dot} < 0 THEN -((({dot} * {dot}) * 100000) {div} ({na} * {nb})) "
+        f"ELSE (({dot} * {dot}) * 100000) {div} ({na} * {nb}) END"
+    )
+
+
+def _ivf_assign(dialect: str) -> str:
+    """IVF coarse assignment: every vector → its best centroid by quantized
+    cosine (ties → lowest centroid id). The FAISS-IVF coarse-quantizer step
+    (semantic_dedup.py:211-254) as a join + window — at 10^12 rows this is
+    a broadcast of the (small) codebook against a partition-parallel scan."""
+    dot = _dot("v.q", "c.cq", dialect)
+    return f"""
+WITH {_qvec(dialect)},
+{_centroid_cte(dialect)},
+_s AS (
+  SELECT v.vec_id, c.cid, {dot} AS dot, v.na, c.nc
+  FROM _qv v JOIN _cent c ON v.na > 0
+),
+_sc AS (
+  SELECT vec_id, cid, {_score('dot', 'na', 'nc', dialect)} AS score_q
+  FROM _s
+),
+_r AS (
+  SELECT vec_id, cid, score_q,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score_q DESC, cid) AS rn
+  FROM _sc
+)
+SELECT vec_id, cid AS centroid_id, score_q AS centroid_score_q
+FROM _r WHERE rn = 1
+"""
+
+
+def _spark_ivf_assign(spark, sf_dir):
+    from quarrycore_spark.operators.ann import ivf_assignments
+    from quarrycore_spark.sources.tables import load
+
+    return ivf_assignments(load(spark, sf_dir, "embeddings")["embeddings"])
+
+
+register(
+    Query(
+        "ivf_assignments",
+        "IVF coarse assignment: vector -> nearest deterministic centroid",
+        _ivf_assign,
+        spark_fn=_spark_ivf_assign,
+        tables=("embeddings",),
+    )
+)
+
+
+def _ivf_topk(dialect: str) -> str:
+    """IVF probe-and-rerank top-k: each stride-sampled query probes its
+    IVF_NPROBE best centroids and exact-reranks only the vectors assigned
+    to those lists — the sub-linear search path (vs ann_topk's brute
+    force). Candidate lists shrink ~nlist/nprobe-fold; recall is the
+    standard IVF trade-off, and the oracle computes the identical result."""
+    dot_vc = _dot("v.q", "c.cq", dialect)
+    dot_qn = _dot("q1.q", "n.q", dialect)
+    return f"""
+WITH {_qvec(dialect)},
+{_centroid_cte(dialect)},
+_vs AS (
+  SELECT v.vec_id, v.q, v.na, c.cid,
+         {_score(dot_vc, 'v.na', 'c.nc', dialect)} AS cscore
+  FROM _qv v JOIN _cent c ON v.na > 0
+),
+_asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid) AS rn
+    FROM _vs
+  ) WHERE rn = 1
+),
+_probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid) AS rn
+    FROM _vs WHERE vec_id % {QUERY_STRIDE} = 0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+_cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM _probe p JOIN _asg a ON a.cid = p.cid AND a.vec_id != p.query_id
+),
+_rr AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_score(dot_qn, 'q1.na', 'n.na', dialect)} AS score_q
+  FROM _cand c
+  JOIN _qv q1 ON q1.vec_id = c.query_id
+  JOIN _qv n ON n.vec_id = c.neighbor_id
+),
+_rk AS (
+  SELECT query_id, neighbor_id, score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, neighbor_id) AS rnk
+  FROM _rr
+)
+SELECT query_id, neighbor_id, score_q, rnk FROM _rk WHERE rnk <= {ANN_K}
+"""
+
+
+def _spark_ivf_topk(spark, sf_dir):
+    from quarrycore_spark.operators.ann import ivf_topk
+    from quarrycore_spark.sources.tables import load
+
+    return ivf_topk(load(spark, sf_dir, "embeddings")["embeddings"])
+
+
+register(
+    Query(
+        "ivf_topk",
+        "IVF probe-and-rerank cosine top-10 (sub-linear search path)",
+        _ivf_topk,
+        spark_fn=_spark_ivf_topk,
+        tables=("embeddings",),
+    )
+)
+
+
 def _planes() -> np.ndarray:
     rng = np.random.RandomState(7)
     n = LSH_BANDS * LSH_PLANES_PER_BAND
