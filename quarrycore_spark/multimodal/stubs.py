@@ -4,11 +4,14 @@ with typed metadata, processed by Arrow-batched UDFs.
 The reference extracts multimodal payloads into typed lists
 (ExtractedContent.tables/images/links — protocols.py:212-220,
 content_processors.py). At Spark scale the pattern is: binary column +
-STRUCT metadata + mapInPandas feature extractors. The image/audio codec
-libraries are NOT in this container, so the decode kernels are stubs: a
-deterministic fake (for plumbing tests) or NotImplementedError (real
-decode), clearly marked. The Spark-side schema, partitioning, UDF
-signatures, and batch shapes are real and tested.
+STRUCT metadata + mapInPandas feature extractors.
+
+Decode status (see multimodal/codecs.py): WAV, uncompressed BMP and binary
+PPM decode FOR REAL with stdlib+numpy kernels (samples/pixels → features +
+64-bit perceptual dHash). Compressed formats (JPEG/PNG/MP4/…) require codec
+libraries absent from this container and flow to the `decode_error`
+dead-letter column; `_fake_decode_features` remains available for
+plumbing tests that want format-independent determinism.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, sha256 string, "
-    "feature array<float>, decode_error string"
+    "feature array<float>, phash bigint, decode_error string"
 )
 
 _FEATURE_DIM = 16
@@ -43,13 +46,13 @@ def _fake_decode_features(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray
     return (raw.astype(np.float64) / 2**32).astype(np.float32)
 
 
-def real_decode(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Real decode entry point — requires codec libs absent from this
-    container. STUB by design (see module docstring)."""
-    raise NotImplementedError(
-        "media decoding requires image/audio codec libraries not present "
-        "in this environment; use _fake_decode_features for plumbing tests"
-    )
+def real_decode(payload: bytes, mime: str) -> dict:
+    """Real decode entry point: WAV/BMP/PPM decode natively
+    (multimodal/codecs.py); other formats raise UnsupportedMediaError
+    (codec libraries absent from this container)."""
+    from quarrycore_spark.multimodal.codecs import decode_media
+
+    return decode_media(payload, mime)
 
 
 def extract_media_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
@@ -59,23 +62,38 @@ def extract_media_features(media: DataFrame, use_fake: bool = True) -> DataFrame
     pattern), never fail the job. Partitioning: payloads stay in their
     input partitions — no shuffle; at scale, repartition by size bucket
     first so batches have uniform decode cost.
+
+    use_fake=True: format-independent deterministic features (plumbing
+    tests). use_fake=False: REAL decode for WAV/BMP/PPM (features + 64-bit
+    perceptual dHash for images); unsupported formats dead-letter.
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes, digests, feats, errs = [], [], [], []
-            for payload in pdf["payload"]:
+            mimes = [
+                (m["mime"] if m is not None else None) for m in pdf["meta"]
+            ] if "meta" in pdf.columns else [None] * len(pdf)
+            n_bytes, digests, feats, phashes, errs = [], [], [], [], []
+            for payload, mime in zip(pdf["payload"], mimes):
+                raw = bytes(payload) if payload is not None else b""
                 try:
-                    raw = bytes(payload) if payload is not None else b""
-                    if not use_fake:
-                        real_decode(raw, "")
-                    feats.append(_fake_decode_features(raw))
+                    if use_fake:
+                        feats.append(_fake_decode_features(raw))
+                        phashes.append(None)
+                    else:
+                        out = real_decode(raw, mime or "")
+                        f = out["feature"]
+                        pad = np.zeros(_FEATURE_DIM, dtype=np.float32)
+                        pad[: min(len(f), _FEATURE_DIM)] = f[:_FEATURE_DIM]
+                        feats.append(pad)
+                        phashes.append(out["phash"])
                     n_bytes.append(len(raw))
                     digests.append(hashlib.sha256(raw).hexdigest())
                     errs.append(None)
-                except Exception as e:  # noqa: BLE001
+                except Exception as e:  # noqa: BLE001 — dead-letter, not crash
                     feats.append(np.zeros(_FEATURE_DIM, dtype=np.float32))
-                    n_bytes.append(len(raw) if payload is not None else 0)
+                    phashes.append(None)
+                    n_bytes.append(len(raw))
                     digests.append("")
                     errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
@@ -85,6 +103,7 @@ def extract_media_features(media: DataFrame, use_fake: bool = True) -> DataFrame
                     "n_bytes": pd.array(n_bytes, dtype="int64"),
                     "sha256": digests,
                     "feature": feats,
+                    "phash": pd.array(phashes, dtype="Int64"),
                     "decode_error": errs,
                 }
             )
@@ -104,4 +123,50 @@ def exact_media_dedup(features: DataFrame) -> DataFrame:
             F.min("media_id").alias("canonical_media_id"),
             F.count("*").alias("group_size"),
         )
+    )
+
+
+def phash_near_dup_pairs(features: DataFrame, hamming_max: int = 7) -> DataFrame:
+    """Perceptual near-dup image pairs: pigeonhole banding over the 64-bit
+    dHash (8 bands of 8 bits ⇒ hamming<=7 implies one band equal) then
+    bit_count verify — the image analogue of the SimHash text stage."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_bands, width = 8, 8
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            (F.shiftright(F.col("phash"), i * width).bitwiseAND(F.lit(mask)))
+            for i in range(n_bands)
+        ]
+    )
+    bx = (
+        features.filter(F.col("phash").isNotNull())
+        .select("media_id", "phash", F.posexplode(bands).alias("bi", "bv"))
+        .select(
+            "media_id", "phash",
+            (F.col("bv") * n_bands + F.col("bi")).alias("bkey"),
+        )
+    )
+    w = Window.partitionBy("bkey")
+    bkt = (
+        bx.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= 1000))
+        .drop("bsz")
+    )
+    a, b = bkt.alias("a"), bkt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("a_id"),
+            F.col("b.media_id").alias("b_id"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= hamming_max)
     )

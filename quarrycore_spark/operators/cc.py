@@ -78,10 +78,17 @@ def connected_components(
     max_iter: int = 50,
     resume: bool = True,
     min_checkpoint_edges: int = 1_000_000,
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """edges(u,v) + vertices(id) → (doc_id, cluster_id).
 
     cluster_id = min vertex id reachable; singletons map to themselves.
+
+    Graphs at or below ``small_graph_edges`` are solved by a driver-side
+    union-find over a BOUNDED collect (a dedup edge graph is usually tiny
+    relative to the corpus): milliseconds instead of an iterative loop of
+    Spark jobs whose per-job latency dwarfs the work. Above the threshold,
+    large-star/small-star label propagation runs distributed.
     """
     spark = edges.sparkSession
     start_iter = 0
@@ -91,6 +98,11 @@ def connected_components(
         edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
         .localCheckpoint()
     )
+
+    if small_graph_edges > 0:
+        head = state.limit(small_graph_edges + 1).collect()
+        if len(head) <= small_graph_edges:
+            return _union_find_labels(spark, head, vertices)
 
     manifest_path = os.path.join(checkpoint_dir, "manifest.json") if checkpoint_dir else None
     if manifest_path and resume and os.path.exists(manifest_path):
@@ -151,6 +163,40 @@ def connected_components(
             "emitting min-label assignment over the last state", max_iter
         )
     return _labels(state, vertices, aggregate=not converged)
+
+
+def _union_find_labels(
+    spark: SparkSession, edge_rows: list, vertices: DataFrame
+) -> DataFrame:
+    """Driver-side union-find for bounded edge lists; cluster_id = min id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        u, v = row["u"], row["v"]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the root IS the cluster id
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    labels = [(n, find(n)) for n in parent]
+    if not labels:
+        return vertices.select(
+            F.col(vertices.columns[0]).alias("doc_id"),
+            F.col(vertices.columns[0]).alias("cluster_id"),
+        )
+    roots = spark.createDataFrame(labels, "u long, v long")
+    return _labels(roots, vertices)
 
 
 def _labels(star_edges: DataFrame, vertices: DataFrame, aggregate: bool = False) -> DataFrame:

@@ -18,8 +18,9 @@ def _random_graph(seed: int, n: int, m: int):
     return n, edges
 
 
+@pytest.mark.parametrize("small_thresh", [100_000, 0])  # union-find path / star loop
 @pytest.mark.parametrize("seed,n,m", [(1, 50, 40), (2, 200, 150), (3, 300, 500)])
-def test_cc_matches_networkx(spark, seed, n, m):
+def test_cc_matches_networkx(spark, seed, n, m, small_thresh):
     n, edges = _random_graph(seed, n, m)
     g = nx.Graph()
     g.add_nodes_from(range(n))
@@ -34,7 +35,9 @@ def test_cc_matches_networkx(spark, seed, n, m):
     vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(edf, vdf).collect()
+        for r in connected_components(
+            edf, vdf, small_graph_edges=small_thresh
+        ).collect()
     }
     assert got == expected
 
@@ -49,14 +52,14 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     full = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(
-            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0
+            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0, small_graph_edges=0
         ).collect()
     }
     # Simulate a resumed run: manifest exists, should short-circuit/converge
     resumed = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(
-            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0
+            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0, small_graph_edges=0
         ).collect()
     }
     assert resumed == full
@@ -76,7 +79,7 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     rewound = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(
-            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0
+            edf, vdf, checkpoint_dir=ckpt, min_checkpoint_edges=0, small_graph_edges=0
         ).collect()
     }
     assert rewound == full

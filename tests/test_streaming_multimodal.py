@@ -109,8 +109,10 @@ def test_multimodal_features_and_dedup(spark):
     assert dedup[by_id[1]["sha256"]]["group_size"] == 2
     assert dedup[by_id[1]["sha256"]]["canonical_media_id"] == 1
 
-    with pytest.raises(NotImplementedError):
-        real_decode(b"x", "image/png")
+    from quarrycore_spark.multimodal.codecs import UnsupportedMediaError
+
+    with pytest.raises(UnsupportedMediaError):
+        real_decode(b"x", "image/png")  # compressed formats need absent libs
 
 
 def test_exporters(spark, tmp_path):
@@ -135,3 +137,54 @@ def test_exporters(spark, tmp_path):
 
     top = quality_top_n(df, 10).collect()
     assert len(top) == 10 and all(r["quality_scaled"] == 99 for r in top[:5])
+
+
+def test_real_decode_features_and_phash_pairs(spark):
+    """Real-decode path: WAV/BMP/PPM payloads decode natively; the same
+    image in two container formats gets the identical perceptual hash; a
+    one-pixel near-dup pairs up via the banded dHash join; unsupported
+    formats dead-letter."""
+    import numpy as np
+
+    from quarrycore_spark.multimodal.stubs import (
+        extract_media_features,
+        phash_near_dup_pairs,
+    )
+    from tests.test_codecs import make_bmp, make_ppm, make_wav, random_img
+
+    img = random_img(7, 32, 32)
+    near = img.copy()
+    near[0, 0] = 255 - near[0, 0]
+    rows = [
+        (1, "image", bytearray(make_bmp(img)), ("image/bmp", 32, 32, None)),
+        (2, "image", bytearray(make_ppm(img)), ("image/ppm", 32, 32, None)),
+        (3, "image", bytearray(make_bmp(near)), ("image/bmp", 32, 32, None)),
+        (4, "image", bytearray(make_bmp(random_img(8, 32, 32))), ("image/bmp", 32, 32, None)),
+        (5, "audio", bytearray(make_wav()), ("audio/wav", None, None, 100)),
+        (6, "image", bytearray(b"\x89PNG fake"), ("image/png", 8, 8, None)),
+        (7, "video", bytearray(b"mp4 fake"), ("video/mp4", None, None, 5000)),
+    ]
+    from quarrycore_spark.multimodal.stubs import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in
+             extract_media_features(media, use_fake=False).collect()}
+    # identical pixels through two formats -> identical phash
+    assert feats[1]["phash"] == feats[2]["phash"] is not None
+    assert feats[1]["decode_error"] is None
+    # audio decodes, has features, no phash
+    assert feats[5]["decode_error"] is None and feats[5]["phash"] is None
+    assert any(abs(x) > 0 for x in feats[5]["feature"])
+    # unsupported formats dead-letter with the reason, job survives
+    assert "UnsupportedMediaError" in feats[6]["decode_error"]
+    assert "UnsupportedMediaError" in feats[7]["decode_error"]
+    # banded perceptual join finds the exact-dup AND the one-pixel near-dup
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in phash_near_dup_pairs(
+            extract_media_features(media, use_fake=False)
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 7
+    assert (1, 4) not in pairs
