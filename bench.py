@@ -69,6 +69,12 @@ def main() -> None:
     ensure_py_files(spark)
 
     t_total0 = time.time()
+    # warm the JVM / parquet reader / codegen once so the first measured
+    # query isn't charged ~5 s of session warmup
+    from quarrycore_spark.sources.tables import load
+
+    load(spark, SF_DIR, "documents")["documents"].count()
+
     queries: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.REGISTRY[name]
