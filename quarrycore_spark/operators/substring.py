@@ -12,11 +12,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
-from quarrycore_spark.operators._cache import track
 
 DEFAULT_GRAM_CAP = 200
 
@@ -50,6 +49,19 @@ def winnow_fingerprints(nt: str, k: int, w: int) -> np.ndarray:
     return np.unique(win.min(axis=1))
 
 
+
+def _capped_gram_buckets(grams: DataFrame, cap: int) -> DataFrame:
+    """2..cap gram-bucket filter as a window count over the self-join's own
+    partitioning — one wide shuffle of (doc_id, g), no cached intermediates
+    (same shuffle discipline as operators/lsh.py)."""
+    w = Window.partitionBy("g")
+    return (
+        grams.withColumn("gsz", F.count(F.lit(1)).over(w))
+        .filter((F.col("gsz") >= 2) & (F.col("gsz") <= cap))
+        .drop("gsz")
+    )
+
+
 def winnow_doc_pairs(
     docs: DataFrame,
     min_overlap: int,
@@ -80,15 +92,10 @@ def winnow_doc_pairs(
                 {"doc_id": np.concatenate(ids), "g": np.concatenate(gs)}
             )
 
-    grams = track(docs.select(id_col, text_col).mapInPandas(
+    grams = docs.select(id_col, text_col).mapInPandas(
         compute, schema="doc_id bigint, g bigint"
-    ))
-    keep = (
-        grams.groupBy("g").count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= cap))
-        .drop("count")
     )
-    gk = track(grams.join(keep, "g"))
+    gk = _capped_gram_buckets(grams, cap)
     a = gk.alias("a")
     b = gk.alias("b")
     return (
@@ -112,14 +119,7 @@ def gram_doc_pairs(
         docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM).alias("nt"))
         .select("doc_id", F.explode(F.expr(_gram_hashes_expr(l_gram))).alias("g"))
     )
-    grams = track(grams)  # referenced by the cap filter AND both join sides
-    keep = (
-        grams.groupBy("g")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= cap))
-        .drop("count")
-    )
-    gk = track(grams.join(keep, "g"))
+    gk = _capped_gram_buckets(grams, cap)
     a = gk.alias("a")
     b = gk.alias("b")
     return (

@@ -9,7 +9,7 @@ multi-referenced CTEs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from quarrycore_spark.functions import dialect as D
@@ -37,12 +37,14 @@ def trigram_jaccard_pairs(
     t = track(t)
     sz = t.select("doc_id", F.size("tg").alias("n_g"))
     gx = t.select("doc_id", F.explode("tg").alias("g"))
-    keep = (
-        gx.groupBy("g").count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= cap))
-        .drop("count")
+    # 2..cap bucket filter as a window count over the self-join's own
+    # partitioning (one wide shuffle, no cached exploded table)
+    w = Window.partitionBy("g")
+    gk = (
+        gx.withColumn("gsz", F.count(F.lit(1)).over(w))
+        .filter((F.col("gsz") >= 2) & (F.col("gsz") <= cap))
+        .drop("gsz")
     )
-    gk = track(gx.join(keep, "g"))
     inter = (
         gk.alias("a")
         .join(gk.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -125,6 +125,8 @@ def run_pipeline(
     checkpoint: bool = True,
     substring: bool = True,
     stage_counts: bool = True,
+    cascade_threshold: int = 0,
+    domain_overrides: dict | None = None,
 ) -> PipelineResult:
     os.makedirs(out_dir, exist_ok=True)
     man = _load_manifest(out_dir) if resume else {"stages": {}}
@@ -137,7 +139,10 @@ def run_pipeline(
     src = pages if pages.rdd.getNumPartitions() >= par else pages.repartition(par)
     extracted = _stage(
         spark, out_dir, man, "extracted",
-        lambda: extract_pages(src).withColumn("doc_id", F.xxhash64("url")),
+        lambda: extract_pages(
+            src, cascade_threshold=cascade_threshold,
+            domain_overrides=domain_overrides,
+        ).withColumn("doc_id", F.xxhash64("url")),
         resume, checkpoint, stage_counts,
     )
 

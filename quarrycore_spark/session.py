@@ -73,11 +73,11 @@ def get_spark(
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # read small test parquet with enough splits to use all cores
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        # workaround: UnionBase.rewriteConstraints throws
-        # NoSuchElementException when unioning localCheckpointed
-        # aggregate-derived branches (Spark 4.1); constraint propagation
-        # contributes nothing to these plans
-        .config("spark.sql.constraintPropagation.enabled", "false")
+        # NOTE: an earlier revision disabled spark.sql.constraintPropagation
+        # to dodge a Spark 4.1 UnionBase.rewriteConstraints
+        # NoSuchElementException on unions of localCheckpointed
+        # aggregate-derived branches; the round-2 pipeline restructure
+        # removed that plan shape and the default optimizer passes again.
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
