@@ -126,9 +126,11 @@ def main() -> None:
         # estimator of the job's actual cost.
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
         runs = {}
-        for cores in (SCALE_N, SCALE_N * 4):
-            best = None
-            for rep in range(repeats):
+        # interleave the two levels (N, 4N, N, 4N …) so both sample the
+        # same machine weather — the sandbox's serialized page-fault cost
+        # drifts over minutes, and a level-sequential loop biases the ratio
+        for rep in range(repeats):
+            for cores in (SCALE_N, SCALE_N * 4):
                 p = subprocess.run(
                     [sys.executable, "-m", "quarrycore_spark.plans.bench_pipeline",
                      str(cores), scale_path],
@@ -140,9 +142,9 @@ def main() -> None:
                 line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
                 r = json.loads(line)
                 print(f"# scale local[{cores}] rep{rep}: {r}", file=sys.stderr)
+                best = runs.get(cores)
                 if best is None or r["wall_s"] < best["wall_s"]:
-                    best = r
-            runs[cores] = best
+                    runs[cores] = r
         t_n = runs[SCALE_N]["wall_s"]
         t_4n = runs[SCALE_N * 4]["wall_s"]
         stage_eff = {
