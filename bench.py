@@ -53,6 +53,8 @@ HEADLINE = [
     "embedding_dup_pairs",
     "ann_topk",
     "ann_lsh_pairs",
+    "ivf_assignments",
+    "ivf_topk",
     "content_metrics",
     "source_dedup_stats",
     "event_props_metadata",
