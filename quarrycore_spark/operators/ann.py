@@ -47,8 +47,16 @@ from quarrycore_spark.plans.vectorops import (
 )
 
 # Hard cap on how many stride-sampled query vectors ann_topk may broadcast.
-# Exceeding it raises instead of silently melting the driver.
+# Exceeding it raises instead of silently melting the driver. Byte cost at
+# the cap: 200k vectors × DIM(64) × 8 B ≈ 102 MB of int64 payload (plus ids
+# and norms, ~3 MB) — a deliberate ceiling for a driver with tens of GB.
 MAX_BROADCAST_QUERIES = 200_000
+
+# Kernel working-set bound: every (rows × columns) score matrix a kernel
+# materializes is chunked to at most this many int64 cells (16 MB). Keeps
+# executor allocations small regardless of how the row caps combine
+# (200k queries × 200k centroids would otherwise be a 320 GB matrix).
+_CHUNK_CELLS = 2_000_000
 
 _QV_SCHEMA = "vec_id bigint, q array<bigint>, na bigint"
 
@@ -178,32 +186,56 @@ def ann_topk(
     b = spark.sparkContext.broadcast((q_ids, q_Q, q_na))
 
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Queries are processed in chunks sized so the (chunk × batch) score
+        # matrix stays <= _CHUNK_CELLS int64 cells, and the per-query top-k
+        # is a vectorized composite-key argsort — no per-query Python loop,
+        # no (n_queries × batch) allocation at the 200k cap.
         qids, qQ, qna = b.value
-        if len(qids) == 0:
+        nq = len(qids)
+        if nq == 0:
             return
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(np.int64)
-            Q = np.stack(pdf["q"].to_numpy())
-            na = pdf["na"].to_numpy(np.int64)
-            dots = qQ @ Q.T  # (n_queries, batch)
-            for r in range(len(qids)):
-                valid = ids != qids[r]
-                d = dots[r][valid]
-                nb = na[valid]
-                nid = ids[valid]
-                if len(nid) == 0:
-                    continue
+            if len(ids) == 0:
+                continue
+            # batch sorted by vec_id: within-row column order == id order,
+            # so the composite key encodes the (score desc, id asc) tie-break
+            bo = np.argsort(ids)
+            ids_s = ids[bo]
+            Q_s = np.stack(pdf["q"].to_numpy())[bo]
+            na_s = pdf["na"].to_numpy(np.int64)[bo]
+            bl = len(ids_s)
+            ncols = min(k + 1, bl)  # +1 slot in case the self column is picked
+            chunk = max(1, _CHUNK_CELLS // bl)
+            out = []
+            col = np.arange(bl, dtype=np.int64)[None, :]
+            for s in range(0, nq, chunk):
+                e = min(s + chunk, nq)
+                dots = qQ[s:e] @ Q_s.T  # (chunk, batch)
                 # all products stay inside int64: dot²·1e5 <= 3.3e18 < 2^63
-                pos = (d * d * 100000) // (qna[r] * nb)
-                score = np.where(d < 0, -pos, pos).astype(np.int64)
-                order = np.lexsort((nid, -score))[:k]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(len(order), qids[r], dtype=np.int64),
-                        "neighbor_id": nid[order],
-                        "score_q": score[order],
-                    }
+                pos = (dots * dots * 100000) // (qna[s:e, None] * na_s[None, :])
+                score = np.where(dots < 0, -pos, pos)
+                # injective composite: score in [-1e5, 1e5], col < bl
+                comp = (np.int64(100001) - score) * bl + col
+                comp[ids_s[None, :] == qids[s:e, None]] = np.iinfo(np.int64).max
+                sel = np.argsort(comp, axis=1)[:, :ncols]  # (chunk, ncols)
+                rows = np.repeat(np.arange(e - s), ncols)
+                nid = ids_s[sel.ravel()]
+                qcol = qids[s:e][rows]
+                valid = nid != qcol
+                rank = (valid.reshape(e - s, ncols).cumsum(axis=1) - 1).ravel()
+                keep = valid & (rank < k)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qcol[keep],
+                            "neighbor_id": nid[keep],
+                            "score_q": score[rows, sel.ravel()][keep],
+                        }
+                    )
                 )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     partial = qv.mapInPandas(
         partial_topk, schema="query_id bigint, neighbor_id bigint, score_q bigint"
@@ -261,25 +293,80 @@ def ivf_assignments(emb: DataFrame, stride: int = CENT_STRIDE) -> DataFrame:
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cids, CQ, cna = b.value
-        if len(cids) == 0:
+        ncent = len(cids)
+        if ncent == 0:
             return
+        # rows chunked so the (chunk × ncent) score matrix stays bounded
+        chunk = max(1, _CHUNK_CELLS // ncent)
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                continue
             Q = np.stack(pdf["q"].to_numpy())
             na = pdf["na"].to_numpy(np.int64)
-            scores = _int_scores(Q @ CQ.T, na, cna)
-            # argmax returns the FIRST max → lowest cid (cids ascending)
-            best = scores.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "centroid_id": cids[best],
-                    "centroid_score_q": scores[np.arange(len(ids)), best],
-                }
-            )
+            for s in range(0, len(ids), chunk):
+                e = min(s + chunk, len(ids))
+                scores = _int_scores(Q[s:e] @ CQ.T, na[s:e], cna)
+                # argmax returns the FIRST max → lowest cid (cids ascending)
+                best = scores.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[s:e],
+                        "centroid_id": cids[best],
+                        "centroid_score_q": scores[np.arange(e - s), best],
+                    }
+                )
 
     return qv.mapInPandas(
         assign, schema="vec_id bigint, centroid_id bigint, centroid_score_q bigint"
+    )
+
+
+def ivf_probes(
+    emb: DataFrame,
+    stride: int = QUERY_STRIDE,
+    cent_stride: int = CENT_STRIDE,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(query_id, centroid_id) probe sets, computed DISTRIBUTIVELY: the
+    broadcast codebook scores each stride-sampled query inside mapInPandas
+    (chunked to _CHUNK_CELLS like ivf_assignments), so no
+    O(queries × centroids) matrix ever exists on the driver. Top-nprobe
+    per query with the oracle's tie-break (score desc, centroid id asc)."""
+    spark = emb.sparkSession
+    qv = quantized_frame(emb).filter(F.col("na") > 0)
+    b = spark.sparkContext.broadcast(_collect_centroids(qv, cent_stride))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, CQ, cna = b.value
+        ncent = len(cids)
+        if ncent == 0:
+            return
+        npb = min(nprobe, ncent)
+        chunk = max(1, _CHUNK_CELLS // ncent)
+        col = np.arange(ncent, dtype=np.int64)[None, :]
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                continue
+            Q = np.stack(pdf["q"].to_numpy())
+            na = pdf["na"].to_numpy(np.int64)
+            for s in range(0, len(ids), chunk):
+                e = min(s + chunk, len(ids))
+                scores = _int_scores(Q[s:e] @ CQ.T, na[s:e], cna)
+                # injective composite: score in [-1e5, 1e5]; cids are sorted
+                # ascending so column index order == centroid-id order
+                comp = (np.int64(100001) - scores) * ncent + col
+                sel = np.argsort(comp, axis=1)[:, :npb]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids[s:e], npb),
+                        "centroid_id": cids[sel.ravel()],
+                    }
+                )
+
+    return qv.filter(F.col("vec_id") % stride == 0).mapInPandas(
+        probe, schema="query_id bigint, centroid_id bigint"
     )
 
 
@@ -292,17 +379,24 @@ def ivf_topk(
     max_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """IVF probe-and-rerank top-k — the sub-linear search path: queries
-    probe their nprobe best centroids; only vectors ASSIGNED to those lists
-    are exact-reranked (a broadcast-join candidate cut of ~nlist/nprobe).
-    Same integer scores and tie-breaks as the SQL oracle."""
+    probe their nprobe best centroids (ivf_probes, distributed); only
+    vectors ASSIGNED to those lists are exact-reranked (a broadcast-join
+    candidate cut of ~nlist/nprobe). The rerank is a per-batch partial
+    top-k merged by one window — the same skew-proof shape as ann_topk, so
+    one hot centroid list can never create an unbounded task (the old
+    groupBy(query_id).applyInPandas pulled every candidate of a query into
+    one task). Same integer scores and tie-breaks as the SQL oracle.
+
+    Broadcast byte cost at the caps: queries ≤ 200k × 64 dims × 8 B
+    ≈ 102 MB; probe pairs ≤ 200k × nprobe(4) × 16 B ≈ 13 MB."""
     spark = emb.sparkSession
     qv = quantized_frame(emb).filter(F.col("na") > 0)
-    cids, CQ, cna = _collect_centroids(qv, cent_stride)
     qrows = qv.filter(F.col("vec_id") % stride == 0).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise RuntimeError(
             f"ivf_topk: >{max_queries} query vectors at stride={stride}"
         )
+    qrows.sort(key=lambda r: r["vec_id"])  # searchsorted key order
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_Q = (
         np.stack([np.asarray(r["q"], dtype=np.int64) for r in qrows])
@@ -310,18 +404,9 @@ def ivf_topk(
         else np.zeros((0, 1), dtype=np.int64)
     )
     q_na = np.array([r["na"] for r in qrows], dtype=np.int64)
-    # probe sets, computed once driver-side over the (small) codebook
-    probes = []
-    if len(q_ids) and len(cids):
-        qscores = _int_scores(q_Q @ CQ.T, q_na, cna)
-        for r in range(len(q_ids)):
-            order = np.lexsort((cids, -qscores[r]))[:nprobe]
-            probes.extend((int(q_ids[r]), int(cids[c])) for c in order)
-    probe_df = spark.createDataFrame(
-        probes or [(None, None)], "query_id long, centroid_id long"
-    )
-    if not probes:
-        probe_df = probe_df.filter(F.col("query_id").isNotNull())
+    bq = spark.sparkContext.broadcast((q_ids, q_Q, q_na))
+
+    probe_df = ivf_probes(emb, stride, cent_stride, nprobe)
     asg = ivf_assignments(emb, cent_stride).select("vec_id", "centroid_id")
     cand = (
         asg.join(F.broadcast(probe_df), "centroid_id")
@@ -329,30 +414,45 @@ def ivf_topk(
         .select("query_id", "vec_id")
         .join(qv, "vec_id")
     )
-    qmap = {int(q_ids[r]): (q_Q[r], int(q_na[r])) for r in range(len(q_ids))}
-    bq = spark.sparkContext.broadcast(qmap)
 
-    def rerank(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(key[0])
-        qvec, qn = bq.value[qid]
-        nid = pdf["vec_id"].to_numpy(np.int64)
-        Q = np.stack(pdf["q"].to_numpy())
-        nb = pdf["na"].to_numpy(np.int64)
-        d = Q @ qvec
-        pos = (d * d * 100000) // (qn * nb)
-        score = np.where(d < 0, -pos, pos).astype(np.int64)
-        order = np.lexsort((nid, -score))[:k]
-        return pd.DataFrame(
-            {
-                "query_id": np.full(len(order), qid, dtype=np.int64),
-                "neighbor_id": nid[order],
-                "score_q": score[order],
-                "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
-            }
-        )
+    def partial_rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qQ, qna = bq.value
+        if len(qids) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qid_col = pdf["query_id"].to_numpy(np.int64)
+            nid = pdf["vec_id"].to_numpy(np.int64)
+            Q = np.stack(pdf["q"].to_numpy())
+            nb = pdf["na"].to_numpy(np.int64)
+            qi = np.searchsorted(qids, qid_col)
+            d = np.einsum("ij,ij->i", Q, qQ[qi])
+            pos = (d * d * 100000) // (qna[qi] * nb)
+            score = np.where(d < 0, -pos, pos).astype(np.int64)
+            # batch-local top-k per query present in the batch
+            order = np.lexsort((nid, -score, qid_col))
+            qs = qid_col[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            sizes = np.diff(np.append(starts, len(qs)))
+            rank = np.arange(len(qs)) - np.repeat(starts, sizes)
+            keep = order[rank < k]
+            yield pd.DataFrame(
+                {
+                    "query_id": qid_col[keep],
+                    "neighbor_id": nid[keep],
+                    "score_q": score[keep],
+                }
+            )
 
-    return cand.groupBy("query_id").applyInPandas(
-        rerank, schema="query_id bigint, neighbor_id bigint, score_q bigint, rnk bigint"
+    partial = cand.mapInPandas(
+        partial_rerank, schema="query_id bigint, neighbor_id bigint, score_q bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score_q", "rnk")
     )
 
 

@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
 
+# Iterations the last distributed star loop took (test instrumentation —
+# the O(log n) convergence guard in tests/test_cc.py reads it; -1 = the
+# union-find or resume short-circuit path answered without iterating).
+LAST_ITERATIONS = -1
+
 # 31-bit modulus: per-edge term <= 32*2^31 and the sum stays far inside
 # int64 even at 10^9 edges; ids may be full-range (negative) xxhash64 values,
 # hence pmod.
@@ -89,7 +94,18 @@ def connected_components(
     relative to the corpus): milliseconds instead of an iterative loop of
     Spark jobs whose per-job latency dwarfs the work. Above the threshold,
     large-star/small-star label propagation runs distributed.
+
+    Resumability granularity: iterations write parquet + manifest only at
+    or above ``min_checkpoint_edges`` — between ``small_graph_edges`` and
+    that threshold the loop runs in memory, so a killed run in that band
+    RESTARTS the loop rather than resuming mid-iteration (the whole loop is
+    seconds at that size; redoing it is cheaper than the parquet barriers).
+    A stale manifest from a previous run is only honored when
+    ``resume=True``; pass ``resume=False`` (what ``run_pipeline`` forwards
+    on fresh runs) or clear ``checkpoint_dir`` when the edge input changed.
     """
+    global LAST_ITERATIONS
+    LAST_ITERATIONS = -1
     spark = edges.sparkSession
     start_iter = 0
     # Truncate the (possibly expensive) input lineage before iterating:
@@ -152,6 +168,7 @@ def connected_components(
                 )
             os.replace(tmp, manifest_path)  # atomic, like the reference's
             # checkpoint writes (utils/atomic.py)
+        LAST_ITERATIONS = it - start_iter + 1
         if converged:
             break
         prev_sum = cur

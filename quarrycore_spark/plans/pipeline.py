@@ -149,20 +149,25 @@ def run_pipeline(
     # ---- stage 2: exact dedup (D1, D2) ----------------------------------
     # content_hash comes from the extraction UDF (sha256 over canonical
     # text) so the full canonical text never travels between stages.
-    # The exact stage carries only slim columns — extracted_text stays in
-    # the extraction table and is joined back by the stages that need it.
-    def build_exact():
-        from pyspark.sql import Window as W
+    # NOT a checkpointed stage: the canonical-selection window reads only
+    # slim columns the extraction parquet already materializes, so a
+    # write+read barrier here buys nothing — on resume it recomputes
+    # deterministically from `extracted` in one cheap shuffle. Persisted
+    # because three downstream stages (signatures, clusters, docs_dedup)
+    # consume it.
+    from pyspark.sql import Window as W
 
-        w = W.partitionBy("content_hash").orderBy("warc_ts", "url")
-        return (
-            extracted.select("doc_id", "url", "warc_ts", "content_hash")
-            .withColumn("rn", F.row_number().over(w))
-            .withColumn("is_exact_canonical", F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    docs = _stage(spark, out_dir, man, "exact", build_exact, resume, checkpoint, stage_counts)
+    w = W.partitionBy("content_hash").orderBy("warc_ts", "url")
+    docs = (
+        extracted.select("doc_id", "url", "warc_ts", "content_hash")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("is_exact_canonical", F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    # bookkeeping row (tests/metrics contract): the exact layer exists but
+    # its (small) cost rides the consuming stages' walls.
+    man["stages"]["exact"] = {"path": None, "rows": None, "wall_s": 0.0, "fused": True}
 
     # exact star edges: member → group-canonical (same CC as the clique)
     canon = docs.filter("is_exact_canonical").select(
@@ -336,6 +341,7 @@ def run_pipeline(
     )
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
+    docs.unpersist()
     return PipelineResult(final, clusters, metrics, lineage)
 
 
