@@ -73,6 +73,9 @@ class DedupConfig:
         object.__setattr__(self, "minhash_perms", tuple(zip(a.tolist(), b.tolist())))
         assert self.lsh_bands * self.lsh_rows == self.num_perm
         assert self.simhash_bits % self.simhash_bands == 0
+        # fused LSH bucket keys reserve 1024 band_idx slots per band hash
+        # (operators/lsh.py _MAX_BANDS) — more bands would break injectivity
+        assert self.lsh_bands <= 1024
 
 
 DEFAULT_CONFIG = DedupConfig()

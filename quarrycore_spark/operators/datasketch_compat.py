@@ -116,6 +116,10 @@ DS_SIG_SCHEMA = "doc_id bigint, ds_sig array<bigint>"
 DS_BANDED_SCHEMA = (
     "doc_id bigint, content_hash string, sig array<bigint>, bands array<bigint>"
 )
+# the full pipeline stage shape (matches signatures.SIG_SCHEMA): the
+# simhash stage is independent of the minhash scheme, so the ds family
+# carries the poly-family simhash alongside its own sig/bands
+DS_PIPELINE_SCHEMA = DS_BANDED_SCHEMA + ", simhash bigint"
 
 _BAND_MULT = 1000003
 _M31 = (1 << 31) - 1
@@ -143,6 +147,7 @@ def with_datasketch_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     banding: tuple[int, int] | None = None,
+    simhash: bool = False,
 ) -> DataFrame:
     """Arrow-batched datasketch-scheme signatures over the same normalized
     7-char shingles as the default family.
@@ -150,10 +155,27 @@ def with_datasketch_signatures(
     With ``banding=(b, r)`` (e.g. from ``optimal_param``), emits the
     (doc_id, content_hash, sig, bands) shape the LSH operators
     (operators/lsh.py verified_pairs / candidate_pairs) consume — a drop-in
-    signature family for the pipeline's near-dup stage."""
+    signature family for the pipeline's near-dup stage. ``simhash=True``
+    additionally carries the (family-independent) poly SimHash so the frame
+    satisfies the full pipeline stage contract (signatures.SIG_SCHEMA)."""
     import hashlib as _hl
 
-    from quarrycore_spark.operators.signatures import char_shingles, normalize_text
+    from quarrycore_spark.operators.signatures import (
+        char_shingles,
+        normalize_text,
+        poly_simhash,
+    )
+
+    if banding is not None:
+        assert banding[0] <= 1024, (
+            "bandings above 1024 bands break the fused LSH bucket-key "
+            "injectivity (operators/lsh.py _MAX_BANDS)"
+        )
+    if simhash and banding is None:
+        raise ValueError("simhash=True requires banding (pipeline shape)")
+    from quarrycore_spark.config import DEFAULT_CONFIG as _DC
+
+    _sim_bits = _DC.simhash_bits
 
     a, b = permutations(num_perm, seed)
 
@@ -168,16 +190,25 @@ def with_datasketch_signatures(
                 yield pd.DataFrame({"doc_id": pdf[id_col].values, "ds_sig": sigs})
             else:
                 nb, nr = banding
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf[id_col].values,
-                        "content_hash": [
-                            _hl.sha256(nt.encode("utf-8")).hexdigest() for nt in nts
-                        ],
-                        "sig": sigs,
-                        "bands": [band_hashes(s, nb, nr) for s in sigs],
-                    }
-                )
+                out = {
+                    "doc_id": pdf[id_col].values,
+                    "content_hash": [
+                        _hl.sha256(nt.encode("utf-8")).hexdigest() for nt in nts
+                    ],
+                    "sig": sigs,
+                    "bands": [band_hashes(s, nb, nr) for s in sigs],
+                }
+                if simhash:
+                    out["simhash"] = pd.array(
+                        [poly_simhash(nt, shingle_size, _sim_bits) for nt in nts],
+                        dtype="int64",
+                    )
+                yield pd.DataFrame(out)
 
-    schema = DS_SIG_SCHEMA if banding is None else DS_BANDED_SCHEMA
+    if banding is None:
+        schema = DS_SIG_SCHEMA
+    elif simhash:
+        schema = DS_PIPELINE_SCHEMA
+    else:
+        schema = DS_BANDED_SCHEMA
     return docs.select(id_col, text_col).mapInPandas(compute, schema=schema)

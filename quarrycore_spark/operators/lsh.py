@@ -26,12 +26,18 @@ from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
 
 DEFAULT_BUCKET_CAP = 200
 
+# Fused-key multiplier: band_idx slots reserved per band_hash. Any banding
+# up to 1024 bands stays injective (band hashes are mod 2³¹−1, so
+# bkey <= 2⁴¹ fits int64 with room); using a constant rather than the
+# actual band count means every signature family (8-band poly, arbitrary
+# optimal_param datasketch banding) shares one injective key space.
+_MAX_BANDS = 1024
+
 
 def band_buckets(
     sigs: DataFrame,
     cap: int = DEFAULT_BUCKET_CAP,
     bands_col: str = "bands",
-    n_bands: int = 16,
 ) -> DataFrame:
     """sigs(doc_id, bands) → (doc_id, bkey), only buckets with 2..cap
     members (singleton buckets produce no pairs; mega-buckets are
@@ -44,7 +50,7 @@ def band_buckets(
         "doc_id", F.posexplode(bands_col).alias("band_idx", "band_hash")
     ).select(
         "doc_id",
-        (F.col("band_hash") * n_bands + F.col("band_idx")).alias("bkey"),
+        (F.col("band_hash") * _MAX_BANDS + F.col("band_idx")).alias("bkey"),
     )
     w = Window.partitionBy("bkey")
     return (

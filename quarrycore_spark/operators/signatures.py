@@ -110,6 +110,18 @@ def _poly_shingle_hashes(nt: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+def poly_simhash(nt: str, k: int, bits: int) -> int:
+    """Poly-family SimHash of normalized text: per-bit majority over the
+    60-bit shingle hashes. Shared by doc_signature(family='poly') and the
+    datasketch signature family (whose minhash scheme differs but whose
+    simhash stage is family-independent)."""
+    hu = _poly_shingle_hashes(nt, k)
+    hs60 = (hu >> np.uint64(4)).astype(np.int64) & ((1 << bits) - 1)
+    bits_m = (hs60[:, None] >> np.arange(bits)[None, :]) & 1
+    ones = bits_m.sum(axis=0)
+    return int(((2 * ones > len(hu)).astype(np.int64) << np.arange(bits)).sum())
+
+
 def doc_signature(
     text: str,
     cfg: DedupConfig,

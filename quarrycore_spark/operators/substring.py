@@ -246,6 +246,53 @@ def lcs_len_hashed(a: str, b: str, lo: int = 1) -> int:
     return lo_s
 
 
+def lcs_extent_hashed(a: str, b: str, lo: int = 1) -> tuple[int, int, int]:
+    """(length, start_a, start_b) of a maximal common substring — the
+    reference's partial-match scan returns the overlap's position
+    (fuzzy_matcher.py:213-236), so the extent matters, not just the length.
+
+    Length comes from the same binary search as lcs_len_hashed; positions
+    are recovered by intersecting the L-gram hash sets at the found length
+    and taking the smallest common hash (deterministic on both sides), then
+    CONFIRMED by an exact string compare — a colliding hash falls through
+    to the next common value, so the returned extent always satisfies
+    a[start_a:start_a+length] == b[start_b:start_b+length]. Returns
+    (len, -1, -1) below the `lo` threshold."""
+    length = lcs_len_hashed(a, b, lo)
+    if length < max(lo, 1):
+        return length, -1, -1
+    pw = np.uint64(pow(int(_HB), length, 1 << 64))
+    ga = _grams_hashed(_prefix_hashes(a), length, pw)
+    gb = _grams_hashed(_prefix_hashes(b), length, pw)
+    common, ia, ib = np.intersect1d(ga, gb, return_indices=True)
+    for i in range(len(common)):
+        sa, sb = int(ia[i]), int(ib[i])
+        if a[sa : sa + length] == b[sb : sb + length]:
+            return length, sa, sb
+    # every common hash was a collision (probability ~2^-64·nm): fall back
+    # to the exact suffix-array extent
+    return _lcs_extent_exact(a, b)
+
+
+def _lcs_extent_exact(a: str, b: str) -> tuple[int, int, int]:
+    """Exact maximal extent via suffix array + LCP over the joined string."""
+    joined = a + "\x01" + b
+    sa_arr = _suffix_array(joined)
+    lcp = _lcp_array(joined, sa_arr)
+    na = len(a)
+    best, best_a, best_b = 0, -1, -1
+    for i in range(1, len(joined)):
+        x, y = sa_arr[i - 1], sa_arr[i]
+        if (x < na) != (y < na):
+            v = int(lcp[i])
+            v = min(v, abs((na - x) if x < na else (na - y)))
+            if v > best:
+                pa = int(x if x < na else y)
+                pb = int((y if x < na else x) - na - 1)
+                best, best_a, best_b = v, pa, pb
+    return best, best_a, best_b
+
+
 def longest_common_substring_len(a: str, b: str) -> int:
     """Length of the longest common substring via suffix array + LCP over
     the sentinel-joined string (sentinel chr(1) cannot occur in normalized
@@ -300,15 +347,17 @@ def substring_extents(
 
     def compute(it):
         for pdf in it:
-            lcs = [
-                lcs_len_hashed(a, b, lo=min_overlap)
+            exts = [
+                lcs_extent_hashed(a, b, lo=min_overlap)
                 for a, b in zip(pdf["nt_a"].astype(str), pdf["nt_b"].astype(str))
             ]
             out = pd.DataFrame(
                 {
                     "a_id": pdf["a_id"].values,
                     "b_id": pdf["b_id"].values,
-                    "lcs_len": pd.array(lcs, dtype="int64"),
+                    "lcs_len": pd.array([e[0] for e in exts], dtype="int64"),
+                    "start_a": pd.array([e[1] for e in exts], dtype="int64"),
+                    "start_b": pd.array([e[2] for e in exts], dtype="int64"),
                     "len_a": pdf["nt_a"].str.len().astype("int64"),
                     "len_b": pdf["nt_b"].str.len().astype("int64"),
                 }
@@ -316,7 +365,11 @@ def substring_extents(
             yield out
 
     ext = joined.mapInPandas(
-        compute, schema="a_id bigint, b_id bigint, lcs_len bigint, len_a bigint, len_b bigint"
+        compute,
+        schema=(
+            "a_id bigint, b_id bigint, lcs_len bigint, start_a bigint, "
+            "start_b bigint, len_a bigint, len_b bigint"
+        ),
     ).filter(F.col("lcs_len") >= min_overlap)
     # classification mirrors the reference's ladder (fuzzy_matcher.py:200-211):
     # a qualifying overlap with length ratio > 1.5 is contains/contained_in

@@ -104,7 +104,7 @@ def _stage(
     # output is materialized — keeps executor storage flat across stages
     from quarrycore_spark.operators._cache import release_tracked
 
-    release_tracked()
+    release_tracked(spark)
     man["stages"][name] = {
         "path": path if checkpoint else None,
         "rows": rows,
@@ -127,7 +127,14 @@ def run_pipeline(
     stage_counts: bool = True,
     cascade_threshold: int = 0,
     domain_overrides: dict | None = None,
+    family: str = "poly",
 ) -> PipelineResult:
+    """family selects the near-dup signature scheme end-to-end:
+    "poly" (default) — the vectorized rolling-hash family; "md5" — the
+    oracle-parity scheme; "datasketch" — the reference's actual MinHash
+    scheme (sha1→uint32, mod 2^61-1) with its S-curve-optimal banding,
+    so recall gates against reference semantics exercise THIS production
+    path (tests/test_pipeline.py::test_pipeline_recall_datasketch_family)."""
     os.makedirs(out_dir, exist_ok=True)
     man = _load_manifest(out_dir) if resume else {"stages": {}}
 
@@ -189,11 +196,24 @@ def run_pipeline(
         .join(extracted.select("doc_id", "extracted_text"), "doc_id")
         .select("doc_id", F.col("extracted_text").alias("text"))
     )
-    sigs = _stage(
-        spark, out_dir, man, "signatures",
+    def build_sigs():
+        if family == "datasketch":
+            from quarrycore_spark.operators.datasketch_compat import (
+                optimal_param,
+                with_datasketch_signatures,
+            )
+
+            nb, nr = optimal_param(cfg.jaccard_threshold_pct / 100, cfg.num_perm)
+            return with_datasketch_signatures(
+                survivors, cfg.shingle_size, cfg.num_perm,
+                banding=(nb, nr), simhash=True,
+            )
         # "poly" = the vectorized rolling-hash family (signatures.py) —
         # same shingle/permutation/banding structure, ~300× cheaper per doc
-        lambda: with_signatures(survivors, cfg, family="poly"),
+        return with_signatures(survivors, cfg, family=family)
+
+    sigs = _stage(
+        spark, out_dir, man, "signatures", build_sigs,
         resume, checkpoint, stage_counts,
     )
 

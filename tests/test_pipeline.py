@@ -254,8 +254,9 @@ def test_pipeline_recall_datasketch_family(spark, corpus):
     """North-rule fidelity gate under the reference's ACTUAL signature
     scheme (datasketch: sha1→uint32, (a*h+b) mod 2^61-1, seed=1 —
     minhash_redis.py:186-202) with its S-curve-optimal banding, not just
-    the repo's poly family: arrival-order simulator vs the Spark LSH
-    operators, dup-pair recall >= 0.99."""
+    the repo's poly family: arrival-order simulator vs the PRODUCTION
+    pipeline path (run_pipeline(family="datasketch")), dup-pair recall
+    >= 0.99."""
     import hashlib
 
     from quarrycore_spark.operators.datasketch_compat import (
@@ -263,9 +264,7 @@ def test_pipeline_recall_datasketch_family(spark, corpus):
         minhash_signature,
         optimal_param,
         permutations,
-        with_datasketch_signatures,
     )
-    from quarrycore_spark.operators.lsh import verified_pairs
     from quarrycore_spark.operators.signatures import char_shingles, normalize_text
 
     nb, nr = optimal_param(CFG.jaccard_threshold_pct / 100, CFG.num_perm)
@@ -306,20 +305,35 @@ def test_pipeline_recall_datasketch_family(spark, corpus):
             buckets.setdefault((bi, int(bh)), []).append(i)
     assert ref_pairs, "simulator should find near-dups under the ds scheme"
 
-    # Spark job, same family + banding, through the production LSH operators
-    sdf = spark.createDataFrame(
-        [(i, corpus[i].text) for i in survivors], "doc_id long, text string"
+    # The PRODUCTION pipeline with the ds family wired end-to-end: same
+    # stages, same LSH operators, same checkpointed pair output.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="qc_ds_pipeline_")
+    run_pipeline(
+        spark, pages_dataframe(spark, corpus), out,
+        resume=False, checkpoint=True, substring=False, family="datasketch",
     )
-    ds = with_datasketch_signatures(
-        sdf, CFG.shingle_size, CFG.num_perm, banding=(nb, nr)
-    )
+    docs_dedup = spark.read.parquet(f"{out}/docs_dedup")
+    url_to_id = {r["url"]: r["doc_id"] for r in docs_dedup.select("url", "doc_id").collect()}
     got = {
         (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
-        for r in verified_pairs(ds, CFG).collect()
+        for r in spark.read.parquet(f"{out}/pairs")
+        .filter(F.col("kind") == "minhash")
+        .collect()
     }
-    found = sum(1 for (j, i) in ref_pairs if (min(i, j), max(i, j)) in got)
+    found = 0
+    for j, i in ref_pairs:
+        da, db = url_to_id[corpus[j].url], url_to_id[corpus[i].url]
+        if (min(da, db), max(da, db)) in got:
+            found += 1
     recall = found / len(ref_pairs)
     assert recall >= 0.99, f"ds-family recall {recall:.4f} ({found}/{len(ref_pairs)})"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
 
 
 def test_pipeline_with_reference_quality_gate(spark, corpus, tmp_path):
