@@ -57,6 +57,7 @@ HEADLINE = [
     "ivf_assignments",
     "ivf_topk",
     "content_metrics",
+    "media_phash_pairs",
     "source_dedup_stats",
     "event_props_metadata",
     "stratified_sample",

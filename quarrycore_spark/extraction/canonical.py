@@ -96,15 +96,92 @@ def extract_body_text(raw: bytes | str) -> str:
     return _WS.sub(" ", s).strip()
 
 
-# Cascade tiers: strict (precision: chrome subtrees removed) then lenient
-# (recall: all body text) — the 2-tier expression of the reference's
-# trafilatura → readability → soup cascade (cascade_order,
-# config.py:363-377) with the same accept-first-tier-above-threshold rule.
+def _find_balanced_blocks(s: str, start_pat: re.Pattern, tagname: str) -> list[str]:
+    """Inner HTML of every block opened by `start_pat`, closed by walking
+    open/close tags of `tagname` with a depth counter (regex alone cannot
+    pair nested same-name tags). Unclosed blocks extend to end-of-string."""
+    out = []
+    tagre = re.compile(rf"<(/?){tagname}\b[^>]*>", re.I)
+    i = 0
+    while True:
+        m = start_pat.search(s, i)
+        if not m:
+            return out
+        depth = 1
+        j = m.end()
+        end = len(s)
+        while depth:
+            m2 = tagre.search(s, j)
+            if not m2:
+                break
+            depth += -1 if m2.group(1) else 1
+            j = m2.end()
+            if depth == 0:
+                end = m2.start()
+        out.append(s[m.end() : end])
+        i = j
+
+
+# Content-selector priority — the regex expression of the reference
+# cascade's CSS-selector targeting (cascade_extractor.py:479-499: main,
+# article, [role=main], #content/.content/.post/.entry/.article-body
+# before any whole-body fallback).
+_SELECTOR_TIERS: tuple[tuple[re.Pattern, str], ...] = (
+    (re.compile(r"<main\b[^>]*>", re.I), "main"),
+    (re.compile(r"<article\b[^>]*>", re.I), "article"),
+    (
+        re.compile(
+            r"<(?:div|section)\b[^>]*\brole\s*=\s*[\"']?main[\"']?[^>]*>", re.I
+        ),
+        r"(?:div|section)",
+    ),
+    (
+        re.compile(
+            r"<(?:div|section)\b[^>]*\b(?:id|class)\s*=\s*[\"'][^\"']*"
+            r"\b(?:content|post|entry|article)(?:[-_]\w+)?\b[^\"']*[\"'][^>]*>",
+            re.I,
+        ),
+        r"(?:div|section)",
+    ),
+)
+
+
+def extract_selector_text(raw: bytes | str) -> str:
+    """Selector tier (highest precision): text of the page's declared
+    main-content region only — `<main>`, `<article>`, `[role=main]`, or a
+    content-ish id/class — with chrome subtrees inside it still removed.
+    Returns "" when the page declares no content region, which makes the
+    cascade fall through to the strict tier (a from-scratch regex analogue
+    of the reference's trafilatura-tier precision, cascade_extractor.py:479-499)."""
+    s = raw if isinstance(raw, str) else decode_html(raw)
+    s = _SCRIPT.sub(" ", s)
+    s = _STYLE.sub(" ", s)
+    s = _COMMENT.sub(" ", s)
+    for start_pat, tagname in _SELECTOR_TIERS:
+        blocks = _find_balanced_blocks(s, start_pat, tagname)
+        if blocks:
+            joined = " ".join(blocks)
+            prev = None
+            while prev != joined:  # nested chrome inside the content region
+                prev = joined
+                joined = _CHROME.sub(" ", joined)
+            joined = _TAG.sub(" ", joined)
+            joined = _html.unescape(joined)
+            return _WS.sub(" ", joined).strip()
+    return ""
+
+
+# Cascade tiers: selector (precision: declared content region only), strict
+# (chrome subtrees removed), lenient (recall: all body text) — the 3-tier
+# expression of the reference's trafilatura → readability → soup cascade
+# (cascade_order, config.py:363-377) with the same
+# accept-first-tier-above-threshold rule.
 EXTRACTORS: dict[str, object] = {
+    "selector": extract_selector_text,
     "strict": extract_main_text,
     "lenient": extract_body_text,
 }
-DEFAULT_CASCADE: tuple[str, ...] = ("strict", "lenient")
+DEFAULT_CASCADE: tuple[str, ...] = ("selector", "strict", "lenient")
 # Reference quality_threshold=0.6 (config.py:374) on the integerized scale.
 REFERENCE_GATE_SCALED = 60
 

@@ -154,6 +154,16 @@ _LANG_WORDLISTS = {
     "pl": ["i", "w", "nie", "na", "się", "z", "do", "to", "że", "jest"],
     "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med"],
     "ru": ["и", "в", "не", "на", "я", "что", "с", "по", "это", "как"],
+    "da": ["og", "det", "at", "en", "den", "til", "er", "som", "på", "ikke"],
+    "no": ["og", "det", "er", "som", "på", "til", "av", "ikke", "den", "jeg"],
+    "fi": ["ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "kun", "niin"],
+    "cs": ["a", "je", "se", "na", "že", "to", "jsem", "ale", "pro", "jak"],
+    "ro": ["și", "de", "la", "cu", "în", "este", "un", "o", "care", "pentru"],
+    "hu": ["a", "az", "és", "nem", "hogy", "egy", "is", "van", "ez", "meg"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "de", "da", "ne", "gibi", "çok"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "ini", "untuk", "dari", "tidak", "pada"],
+    "vi": ["và", "của", "là", "có", "không", "được", "trong", "một", "cho", "này"],
+    "el": ["και", "το", "να", "της", "την", "είναι", "με", "που", "για", "από"],
 }
 
 # Confidence floor: fewer than this many distinct stopword hits for the best
@@ -164,10 +174,12 @@ MIN_LANG_VOTES = 2
 
 
 def _lang_id(dialect: str) -> str:
-    """P8: stopword-vote language ID over 10 languages (n-gram-heuristic
+    """P8: stopword-vote language ID over 20 languages (n-gram-heuristic
     analogue of the reference's fastText lid.176 detector,
     language_detector.py — same contract: top-1 vote with a deterministic
-    tie-break in declaration order, 'und' below the confidence floor)."""
+    tie-break in declaration order, 'und' below the confidence floor).
+    vote_margin (top votes − runner-up votes) mirrors the reference
+    detector's per-doc confidence output as an exact integer."""
     if dialect == SPARK:
         words = "array_distinct(split(nt, ' '))"
 
@@ -191,11 +203,22 @@ def _lang_id(dialect: str) -> str:
         clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
     best = " ".join(clauses)
     out_votes = ", ".join(f"v_{lg}" for lg in langs)
+    varr = ", ".join(f"v_{lg}" for lg in langs)
+    if dialect == SPARK:
+        margin = (
+            f"element_at(sort_array(array({varr}), false), 1) - "
+            f"element_at(sort_array(array({varr}), false), 2)"
+        )
+    else:
+        margin = (
+            f"list_sort([{varr}], 'DESC')[1] - list_sort([{varr}], 'DESC')[2]"
+        )
     return f"""
 WITH {P.doc_norm(dialect, CFG)},
 _w AS (SELECT doc_id, {words} AS ws FROM _docs),
 _v AS (SELECT doc_id, {vote_cols} FROM _w)
 SELECT doc_id, CASE {best} ELSE 'und' END AS lang_guess,
+       {margin} AS vote_margin,
        {out_votes}
 FROM _v
 """

@@ -51,3 +51,44 @@ def test_embedding_dup_pairs_blocking_invariant(spark):
     p1, p3, p8 = pairs(1), pairs(3), pairs(8)
     assert p1 == p3 == p8
     assert len(p1) > 0
+
+
+def test_lang_id_confidence_floor_and_margin(spark, tmp_path):
+    """P8 semantics: a doc mixing single stopwords from many languages stays
+    below the vote floor -> 'und'; clear-language docs get a positive
+    vote_margin (the reference detector's confidence analogue)."""
+    import duckdb
+
+    from quarrycore_spark.plans.registry import REGISTRY
+
+    rows = [
+        (1, "the data table is sorted and the key join works in order"),
+        (2, "der hund ist nicht mit der katze und das haus für alle auf"),
+        # one stopword from each of several languages: no language reaches
+        # MIN_LANG_VOTES distinct hits
+        (3, "the der el le il og ja bir yang trong"),
+        (4, ""),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["lang_guess"], r["vote_margin"])
+        for r in REGISTRY["lang_id"].run_spark(spark, sf).collect()
+    }
+    assert out[1][0] == "en" and out[1][1] > 0
+    assert out[2][0] == "de" and out[2][1] > 0
+    assert out[3][0] == "und"
+    assert out[4][0] == "und"
+
+    # dual-dialect: DuckDB oracle agrees on the same fixture
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        row[0]: (row[1], row[2])
+        for row in con.sql(REGISTRY["lang_id"].oracle()).fetchall()
+    }
+    assert oracle == out

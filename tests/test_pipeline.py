@@ -241,7 +241,9 @@ def test_cascade_quality_gate_and_overrides():
     ov = {"example.com": ("lenient",)}
     assert resolve_cascade_order("https://example.com/a", ov) == ("lenient",)
     assert resolve_cascade_order("https://www.example.com/a", ov) == ("lenient",)
-    assert resolve_cascade_order("https://other.net/a", ov) == ("strict", "lenient")
+    assert resolve_cascade_order("https://other.net/a", ov) == (
+        "selector", "strict", "lenient",
+    )
     # override respected end-to-end
     _, tier_ov, _, _ = cascade_extract(
         html, url="https://www.example.com/a", lang="en",
