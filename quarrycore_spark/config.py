@@ -5,15 +5,20 @@ Jaccard threshold 0.85 — src/quarrycore/config/config.py:195-208 in the
 reference) plus the parameters the north rule adds (SimHash Hamming blocking,
 suffix-array minimum overlap).
 
-Two hashing families coexist:
+Three hashing families coexist:
 
-* the *oracle family* (``minhash_sql`` etc.): md5-prefix integer hashing that
-  is expressible identically in Spark SQL and DuckDB SQL, used by the
-  driver's correctness gate — all integer arithmetic, no floats;
-* the *datasketch family* (``signatures.py``): a bit-exact reimplementation
-  of the public datasketch MinHash scheme (sha1→uint32, universal hashing
-  mod 2^61-1, seed 1), used by the production pipeline for recall parity
-  with the reference (src/quarrycore/dedup/minhash_redis.py:186-202).
+* the *oracle family* (``operators/signatures.py`` family="md5" and the SQL
+  in ``functions/dialect.py``): md5-prefix integer hashing expressible
+  identically in Spark SQL and DuckDB SQL, used by the driver's
+  correctness gate — all integer arithmetic, no floats;
+* the *poly family* (``operators/signatures.py`` family="poly"): the
+  vectorized rolling-hash scheme the production pipeline defaults to —
+  same shingle/permutation/banding structure, ~300× cheaper per doc;
+* the *datasketch family* (``operators/datasketch_compat.py``): a bit-exact
+  reimplementation of the public datasketch MinHash scheme (sha1→uint32,
+  universal hashing mod 2^61-1, seed 1), selectable end-to-end via
+  ``run_pipeline(..., family="datasketch")`` for recall parity with the
+  reference (src/quarrycore/dedup/minhash_redis.py:186-202).
 """
 
 from __future__ import annotations

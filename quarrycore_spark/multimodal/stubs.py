@@ -59,9 +59,10 @@ def extract_media_features(media: DataFrame, use_fake: bool = True) -> DataFrame
     """media(media_id, kind, payload, meta) → per-item features.
 
     Arrow-batched; per-item failures go to `decode_error` (dead-letter
-    pattern), never fail the job. Partitioning: payloads stay in their
-    input partitions — no shuffle; at scale, repartition by size bucket
-    first so batches have uniform decode cost.
+    pattern), never fail the job. Partitioning: decode is CPU-bound, so the
+    input is spread to at least defaultParallelism partitions when the
+    byte-sized scan gave fewer (no-op at scale); for very heterogeneous
+    media, repartition by size bucket first so batches have uniform cost.
 
     use_fake=True: format-independent deterministic features (plumbing
     tests). use_fake=False: REAL decode for WAV/BMP/PPM (features + 64-bit
@@ -108,7 +109,9 @@ def extract_media_features(media: DataFrame, use_fake: bool = True) -> DataFrame
                 }
             )
 
-    return media.mapInPandas(compute, schema=FEATURE_SCHEMA)
+    from quarrycore_spark.operators._partitioning import spread
+
+    return spread(media).mapInPandas(compute, schema=FEATURE_SCHEMA)
 
 
 def exact_media_dedup(features: DataFrame) -> DataFrame:

@@ -79,7 +79,11 @@ def quantized_frame(emb: DataFrame) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(compute, schema=_QV_SCHEMA)
+    from quarrycore_spark.operators._partitioning import spread
+
+    return spread(emb.select("vec_id", "embedding")).mapInPandas(
+        compute, schema=_QV_SCHEMA
+    )
 
 
 def embedding_dup_pairs(
@@ -485,7 +489,9 @@ def lsh_band_signatures(emb: DataFrame) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    from quarrycore_spark.operators._partitioning import spread
+
+    return spread(emb.select("vec_id", "embedding")).mapInPandas(
         compute,
         schema="vec_id bigint, band_idx bigint, band_sig bigint, q array<bigint>, na bigint",
     )

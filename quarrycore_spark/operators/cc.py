@@ -108,17 +108,21 @@ def connected_components(
     LAST_ITERATIONS = -1
     spark = edges.sparkSession
     start_iter = 0
-    # Truncate the (possibly expensive) input lineage before iterating:
-    # each star round + checksum would otherwise re-evaluate it.
-    state = (
-        edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
-        .localCheckpoint()
-    )
+    state = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
 
     if small_graph_edges > 0:
+        # ONE job for the whole small-graph fast path: limit+collect without
+        # a prior checkpoint (the usual dedup graph is tiny; a checkpoint
+        # job before knowing the size would double the fixed cost).
         head = state.limit(small_graph_edges + 1).collect()
         if len(head) <= small_graph_edges:
             return _union_find_labels(spark, head, vertices)
+
+    # Big graph: truncate the (possibly expensive) input lineage before
+    # iterating — each star round + checksum would otherwise re-evaluate it.
+    # (Costs one extra evaluation of the distinct right after the size
+    # probe; amortized over the iterative loop it protects.)
+    state = state.localCheckpoint()
 
     manifest_path = os.path.join(checkpoint_dir, "manifest.json") if checkpoint_dir else None
     if manifest_path and resume and os.path.exists(manifest_path):

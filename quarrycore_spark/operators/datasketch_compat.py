@@ -211,4 +211,6 @@ def with_datasketch_signatures(
         schema = DS_PIPELINE_SCHEMA
     else:
         schema = DS_BANDED_SCHEMA
-    return docs.select(id_col, text_col).mapInPandas(compute, schema=schema)
+    from quarrycore_spark.operators._partitioning import spread
+
+    return spread(docs.select(id_col, text_col)).mapInPandas(compute, schema=schema)

@@ -92,7 +92,9 @@ def winnow_doc_pairs(
                 {"doc_id": np.concatenate(ids), "g": np.concatenate(gs)}
             )
 
-    grams = docs.select(id_col, text_col).mapInPandas(
+    from quarrycore_spark.operators._partitioning import spread
+
+    grams = spread(docs.select(id_col, text_col)).mapInPandas(
         compute, schema="doc_id bigint, g bigint"
     )
     gk = _capped_gram_buckets(grams, cap)
@@ -115,8 +117,10 @@ def gram_doc_pairs(
     """(a_id, b_id, shared_grams): doc pairs sharing >=1 common substring of
     length >= l_gram. Grams occurring in more than `cap` docs are dropped
     (boilerplate guard, deterministic)."""
+    from quarrycore_spark.operators._partitioning import spread
+
     grams = (
-        docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM).alias("nt"))
+        spread(docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM).alias("nt")))
         .select("doc_id", F.explode(F.expr(_gram_hashes_expr(l_gram))).alias("g"))
     )
     gk = _capped_gram_buckets(grams, cap)

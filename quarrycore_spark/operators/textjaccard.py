@@ -29,8 +29,10 @@ def trigram_jaccard_pairs(
         f"else array_distinct(transform(sequence(1, size(ws) - 2), "
         f"i -> {D.hex_int(gram_str, 15, SPARK)})) end"
     )
+    from quarrycore_spark.operators._partitioning import spread
+
     t = (
-        docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM.replace("text", text_col)).alias("nt"))
+        spread(docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM.replace("text", text_col)).alias("nt")))
         .withColumn("ws", F.split("nt", " "))
         .select("doc_id", F.expr(tg_expr).alias("tg"))
     )

@@ -68,7 +68,7 @@ def _save_manifest(out_dir: str, man: dict) -> None:
 
 def _stage(
     spark, out_dir, man, name, builder, resume=True, checkpoint=True,
-    stage_counts=True,
+    stage_counts=True, extra_obs=None,
 ) -> DataFrame:
     """Run one stage with checkpoint/resume: if the manifest records the
     stage as complete, read its parquet instead of recomputing.
@@ -94,11 +94,25 @@ def _stage(
     else:
         from pyspark.sql import Observation
 
+        # Bound the output file count to ~4 files per core: a stage inheriting
+        # hundreds of input splits would otherwise pay one parquet-writer
+        # buffer allocation per split (a serialized cost in this sandbox, and
+        # tiny-file pollution on a real cluster). coalesce (not repartition):
+        # no shuffle — upstream splits are fused into wider tasks at the same
+        # CPU parallelism.
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() > 4 * par:
+            df = df.coalesce(4 * par)
         obs = Observation(f"stage_{name}_{int(t0 * 1000)}")
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(path)
-        rows = int(obs.get["n"])
+        df.observe(
+            obs, F.count(F.lit(1)).alias("n"), *(extra_obs or [])
+        ).write.mode("overwrite").parquet(path)
+        got = obs.get
+        rows = int(got["n"])
+        if extra_obs:
+            man.setdefault("observations", {})[name] = {
+                k: v for k, v in got.items() if k != "n"
+            }
         df = spark.read.parquet(path)
     # drop operator-internal persisted intermediates now that the stage
     # output is materialized — keeps executor storage flat across stages
@@ -325,7 +339,11 @@ def run_pipeline(
             )
         )
 
-    final = _stage(spark, out_dir, man, "docs_dedup", build_final, resume, checkpoint, stage_counts)
+    final = _stage(
+        spark, out_dir, man, "docs_dedup", build_final, resume, checkpoint,
+        stage_counts,
+        extra_obs=[F.sum(F.col("is_duplicate").cast("long")).alias("dups")],
+    )
 
     # ---- lineage: per-partition row counts per stage (north-rule lineage) --
     def lineage_of(df: DataFrame, stage: str) -> DataFrame:
@@ -348,11 +366,18 @@ def run_pipeline(
     metrics = [
         {"stage": k, **v} for k, v in man["stages"].items()
     ]
-    summary_row = final.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("is_duplicate").cast("long")).alias("d"),
-    ).collect()[0]
-    total, dups = summary_row["n"], summary_row["d"] or 0
+    # summary rides the docs_dedup write's Observation when available
+    # (checkpoint mode); otherwise one aggregate job.
+    obs = man.get("observations", {}).get("docs_dedup")
+    if obs is not None and man["stages"]["docs_dedup"].get("rows") is not None:
+        total = man["stages"]["docs_dedup"]["rows"]
+        dups = int(obs.get("dups") or 0)
+    else:
+        summary_row = final.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("d"),
+        ).collect()[0]
+        total, dups = summary_row["n"], summary_row["d"] or 0
     metrics.append(
         {
             "stage": "summary", "total_docs": total, "duplicate_docs": dups,

@@ -38,3 +38,66 @@ def stratified_sample(
 ) -> DataFrame:
     """Stratified sampling by a category column (sampleBy)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def export_hf_dataset(
+    df: DataFrame,
+    path: str,
+    split: str = "train",
+    shard_size: int = 50000,
+) -> None:
+    """S8: HuggingFace-datasets-compatible on-disk export (reference
+    HuggingFaceExporter, dataset/exporter.py:79-94 minus the Hub push —
+    network access and the datasets library are absent here, but the
+    written layout is exactly what `datasets.load_dataset("parquet",
+    data_dir=path)` consumes):
+
+        {path}/data/{split}-*.parquet   bounded-size shards
+        {path}/dataset_infos.json       features inferred from the schema
+
+    Hub pushing is an authenticated network call the reference delegates to
+    `datasets.push_to_hub`; a cluster deployment would call it after this
+    export completes.
+    """
+    import json
+    import os
+
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", shard_size)
+        .option("compression", "snappy")
+        .parquet(os.path.join(path, "data"))
+    )
+    # rename Spark part files to the HF shard convention
+    data_dir = os.path.join(path, "data")
+    parts = sorted(
+        f for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    for i, f in enumerate(parts):
+        os.replace(
+            os.path.join(data_dir, f),
+            os.path.join(data_dir, f"{split}-{i:05d}-of-{len(parts):05d}.parquet"),
+        )
+    _HF_TYPES = {
+        "string": "string", "long": "int64", "bigint": "int64",
+        "int": "int32", "integer": "int32", "double": "float64",
+        "float": "float32", "boolean": "bool", "binary": "binary",
+        "timestamp": "timestamp[us]",
+    }
+    features = {
+        f.name: {"dtype": _HF_TYPES.get(f.dataType.simpleString(), f.dataType.simpleString()),
+                 "_type": "Value"}
+        for f in df.schema.fields
+    }
+    n_rows = df.sparkSession.read.parquet(data_dir).count()
+    info = {
+        "default": {
+            "features": features,
+            "splits": {split: {"name": split, "num_examples": n_rows}},
+        }
+    }
+    tmp = os.path.join(path, "dataset_infos.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(info, fh, indent=1)
+    os.replace(tmp, os.path.join(path, "dataset_infos.json"))

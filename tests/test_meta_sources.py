@@ -92,3 +92,26 @@ def test_lang_id_confidence_floor_and_margin(spark, tmp_path):
         for row in con.sql(REGISTRY["lang_id"].oracle()).fetchall()
     }
     assert oracle == out
+
+
+def test_export_hf_dataset_layout(spark, tmp_path):
+    """S8: the written layout is what datasets.load_dataset('parquet')
+    consumes — named shards under data/ plus dataset_infos.json."""
+    import json
+    import os
+
+    from quarrycore_spark.sources.export import export_hf_dataset
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "hf")
+    export_hf_dataset(df, out, shard_size=30)
+    shards = sorted(os.listdir(os.path.join(out, "data")))
+    shards = [s for s in shards if s.endswith(".parquet")]
+    assert shards and all(s.startswith("train-") and "-of-" in s for s in shards)
+    info = json.load(open(os.path.join(out, "dataset_infos.json")))
+    assert info["default"]["splits"]["train"]["num_examples"] == 100
+    assert info["default"]["features"]["doc_id"]["dtype"] == "int64"
+    # round-trips through a plain parquet read
+    assert spark.read.parquet(os.path.join(out, "data")).count() == 100
