@@ -79,11 +79,10 @@ def quantized_frame(emb: DataFrame) -> DataFrame:
                 }
             )
 
-    from quarrycore_spark.operators._partitioning import spread
-
-    return spread(emb.select("vec_id", "embedding")).mapInPandas(
-        compute, schema=_QV_SCHEMA
-    )
+    # NOT spread(): the quantize kernel is a few numpy passes per batch —
+    # scan-bound, not CPU-dense — and ivf_topk instantiates this frame three
+    # times; an added repartition shuffle measured net-slower at bench sizes.
+    return emb.select("vec_id", "embedding").mapInPandas(compute, schema=_QV_SCHEMA)
 
 
 def embedding_dup_pairs(
@@ -489,9 +488,7 @@ def lsh_band_signatures(emb: DataFrame) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True)
 
-    from quarrycore_spark.operators._partitioning import spread
-
-    return spread(emb.select("vec_id", "embedding")).mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         compute,
         schema="vec_id bigint, band_idx bigint, band_sig bigint, q array<bigint>, na bigint",
     )

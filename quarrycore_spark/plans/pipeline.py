@@ -98,11 +98,9 @@ def _stage(
         # hundreds of input splits would otherwise pay one parquet-writer
         # buffer allocation per split (a serialized cost in this sandbox, and
         # tiny-file pollution on a real cluster). coalesce (not repartition):
-        # no shuffle — upstream splits are fused into wider tasks at the same
-        # CPU parallelism.
-        par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() > 4 * par:
-            df = df.coalesce(4 * par)
+        # no shuffle, never increases partitions, so it is a no-op for
+        # already-narrow stages — no plan inspection needed.
+        df = df.coalesce(4 * spark.sparkContext.defaultParallelism)
         obs = Observation(f"stage_{name}_{int(t0 * 1000)}")
         df.observe(
             obs, F.count(F.lit(1)).alias("n"), *(extra_obs or [])
