@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least min_partitions (default: defaultParallelism)
-    partitions ahead of a CPU-bound kernel; no-op when already wider."""
+    partitions ahead of a CPU-bound kernel; no-op when already wider.
+    Streaming frames pass through untouched (micro-batch partitioning is
+    the source's concern, and `.rdd` is illegal on a streaming plan)."""
+    if df.isStreaming:
+        return df
     par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par) if df.rdd.getNumPartitions() < par else df

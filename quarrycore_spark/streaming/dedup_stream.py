@@ -90,3 +90,88 @@ class ForeachBatchDedup:
         firsts.select("content_hash").write.mode("overwrite").parquet(
             os.path.join(self.state_dir, f"epoch={epoch_id}")
         )
+
+
+def streaming_lsh_pairs(
+    docs_stream: DataFrame,
+    cfg=None,
+    cap: int = 200,
+) -> DataFrame:
+    """Stateful streaming near-dup detection via ``applyInPandasWithState``
+    — the Structured Streaming expression of the reference's Redis LSH
+    query-before-insert protocol (minhash_redis.py:228-242): each LSH band
+    bucket is a state group holding the (doc_id, signature) members seen so
+    far; every arriving doc is verified against the bucket's members and
+    then inserted, so pairs are emitted exactly when the later duplicate
+    arrives — across micro-batches, without a batch-global self-join.
+
+    Output: append-mode (a_id, b_id, agree_cnt) verified at the batch
+    operator's integer threshold (agree·100 ≥ num_perm·threshold_pct);
+    the same pair found via k buckets is emitted k times — downstream
+    dropDuplicates is the consumer's choice (kept out so the operator
+    stays watermark-free).
+
+    State per bucket is capped at ``cap`` members (the streaming analogue
+    of the batch bucket cap: boilerplate mega-buckets stop accumulating
+    and stop producing pairs, deterministically).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from quarrycore_spark.config import DEFAULT_CONFIG
+    from quarrycore_spark.operators.lsh import _MAX_BANDS
+    from quarrycore_spark.operators.signatures import with_signatures
+
+    cfg = cfg or DEFAULT_CONFIG
+    num_perm = cfg.num_perm
+    thr = cfg.jaccard_threshold_pct
+
+    sigs = with_signatures(docs_stream, cfg, family="poly")
+    bands = sigs.select(
+        "doc_id", "sig", F.posexplode("bands").alias("band_idx", "band_hash")
+    ).select(
+        "doc_id",
+        "sig",
+        (F.col("band_hash") * _MAX_BANDS + F.col("band_idx")).alias("bkey"),
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ids_l, sig_flat = state.get
+            ids = list(ids_l)
+            mat = np.asarray(sig_flat, dtype=np.int64).reshape(-1, num_perm)
+        else:
+            ids = []
+            mat = np.empty((0, num_perm), dtype=np.int64)
+        out_a, out_b, out_c = [], [], []
+        for pdf in pdfs:
+            # deterministic arrival order inside the batch
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                if doc_id in ids:
+                    continue  # replayed row
+                s = np.asarray(sig, dtype=np.int64)
+                if len(ids):
+                    agree = (mat == s[None, :]).sum(axis=1)
+                    hits = np.flatnonzero(agree * 100 >= num_perm * thr)
+                    for h in hits:
+                        a, b = sorted((int(ids[h]), int(doc_id)))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_c.append(int(agree[h]))
+                if len(ids) < cap:
+                    ids.append(int(doc_id))
+                    mat = np.vstack([mat, s[None, :]])
+        state.update((ids, [int(x) for x in mat.ravel()]))
+        if out_a:
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "agree_cnt": out_c})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("bkey").applyInPandasWithState(
+        update,
+        outputStructType="a_id long, b_id long, agree_cnt long",
+        stateStructType="ids array<long>, sig_flat array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -188,3 +188,69 @@ def test_real_decode_features_and_phash_pairs(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 7
     assert (1, 4) not in pairs
+
+
+def test_streaming_lsh_pairs_stateful_cross_batch(spark, tmp_path):
+    """applyInPandasWithState LSH: a near-dup pair split across TWO
+    micro-batches must surface via bucket state (the streaming analogue of
+    the reference's Redis query-before-insert), and the emitted pairs must
+    match the batch operator's verified pairs on the same corpus."""
+    from quarrycore_spark.config import DEFAULT_CONFIG as CFG
+    from quarrycore_spark.operators.lsh import verified_pairs
+    from quarrycore_spark.operators.signatures import with_signatures
+    from quarrycore_spark.streaming.dedup_stream import streaming_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the crawler "
+        "fetches pages and the dedup engine builds minhash signatures "
+        "over seven character shingles for near duplicate detection "
+    ) * 3
+    rows_b1 = [
+        (1, base),
+        (2, "completely different content about spark adaptive query execution "
+            "and shuffle partition coalescing at terabyte scale " * 4),
+    ]
+    rows_b2 = [
+        (3, base.replace("lazy", "idle")),  # near-dup of doc 1
+        (4, "yet another unrelated page with its own words entirely " * 6),
+    ]
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    # one file per micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_lsh_pairs(stream, CFG)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_pairs_out")
+        .option("checkpointLocation", str(tmp_path / "ck_lsh"))
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 2, "expected multiple micro-batches"
+
+    got = {
+        (r["a_id"], r["b_id"], r["agree_cnt"])
+        for r in spark.sql("select * from lsh_pairs_out").collect()
+    }
+    static = spark.createDataFrame(rows_b1 + rows_b2, schema)
+    want = {
+        (r["a_id"], r["b_id"], r["agree_cnt"])
+        for r in verified_pairs(with_signatures(static, CFG, family="poly"), CFG).collect()
+    }
+    assert (1, 3) in {(a, b) for a, b, _ in want}, "fixture must contain a near-dup pair"
+    assert got == want
