@@ -129,13 +129,29 @@ def exact_media_dedup(features: DataFrame) -> DataFrame:
     )
 
 
-def phash_near_dup_pairs(features: DataFrame, hamming_max: int = 7) -> DataFrame:
+def phash_near_dup_pairs(
+    features: DataFrame, hamming_max: int = 7, bucket_cap: int = 1000
+) -> DataFrame:
     """Perceptual near-dup image pairs: pigeonhole banding over the 64-bit
     dHash (8 bands of 8 bits ⇒ hamming<=7 implies one band equal) then
-    bit_count verify — the image analogue of the SimHash text stage."""
+    bit_count verify — the image analogue of the SimHash text stage.
+
+    Scale shape: the band join runs over DISTINCT phash VALUES, not media
+    rows. Identical-image classes — the common case in a crawl, and what a
+    growing corpus piles into each band bucket — collapse to one row each,
+    so bucket population is bounded by image DIVERSITY (distinct hashes
+    sharing an 8-bit band value), not corpus size. Verified hash pairs
+    expand back to media-id pairs through two class joins, and the
+    hamming-0 within-class pairs come from a per-class self-join. Output
+    is therefore identical to the uncapped all-pairs definition at ANY
+    document count, as long as no distinct-hash bucket exceeds bucket_cap
+    (2⁵⁶ per-band diversity would be needed to approach it here; buckets
+    that do exceed it are dominant-pattern noise, dropped with the same
+    deterministic 2..cap rule as every other LSH operator in this repo)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    classes = features.filter(F.col("phash").isNotNull()).select("media_id", "phash")
     n_bands, width = 8, 8
     mask = (1 << width) - 1
     bands = F.array(
@@ -145,31 +161,51 @@ def phash_near_dup_pairs(features: DataFrame, hamming_max: int = 7) -> DataFrame
         ]
     )
     bx = (
-        features.filter(F.col("phash").isNotNull())
-        .select("media_id", "phash", F.posexplode(bands).alias("bi", "bv"))
-        .select(
-            "media_id", "phash",
-            (F.col("bv") * n_bands + F.col("bi")).alias("bkey"),
-        )
+        classes.select("phash").distinct()
+        .select("phash", F.posexplode(bands).alias("bi", "bv"))
+        .select("phash", (F.col("bv") * n_bands + F.col("bi")).alias("bkey"))
     )
     w = Window.partitionBy("bkey")
     bkt = (
         bx.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= 1000))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
         .drop("bsz")
     )
     a, b = bkt.alias("a"), bkt.alias("b")
-    return (
+    hash_pairs = (
         a.join(
             b,
             (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (F.col("a.phash") < F.col("b.phash")),
         )
         .select(
-            F.col("a.media_id").alias("a_id"),
-            F.col("b.media_id").alias("b_id"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
             F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
         )
-        .dropDuplicates(["a_id", "b_id"])
+        .dropDuplicates(["pa", "pb"])
         .filter(F.col("hamming") <= hamming_max)
     )
+    ca, cb = classes.alias("ca"), classes.alias("cb")
+    cross = (
+        ca.join(hash_pairs, F.col("ca.phash") == F.col("pa"))
+        .join(cb, F.col("cb.phash") == F.col("pb"))
+        .select(
+            F.least("ca.media_id", "cb.media_id").alias("a_id"),
+            F.greatest("ca.media_id", "cb.media_id").alias("b_id"),
+            "hamming",
+        )
+    )
+    within = (
+        ca.join(
+            cb,
+            (F.col("ca.phash") == F.col("cb.phash"))
+            & (F.col("ca.media_id") < F.col("cb.media_id")),
+        )
+        .select(
+            F.col("ca.media_id").alias("a_id"),
+            F.col("cb.media_id").alias("b_id"),
+            F.bit_count(F.col("ca.phash").bitwiseXOR(F.col("cb.phash"))).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)

@@ -12,7 +12,9 @@ Scale shapes (nothing here collects a full table to the driver):
   the B (block_i, block_j) groups it participates in, and each group runs an
   in-memory numpy block product. Work is the inherent O(n²/B²)·B² of an
   exact all-pairs scan, but memory per task is O(n/B) and the driver never
-  sees a vector. The sub-quadratic path at 10^12 rows is ``ann_lsh_pairs``.
+  sees a vector. B derives from the table size (see the function docstring
+  for the byte bound). The sub-quadratic path at 10^12 rows is
+  ``ann_lsh_pairs``.
 * ``ann_topk`` — only the stride-sampled *query* vectors are collected
   (row-capped, loud failure beyond the cap) and broadcast; the full table
   streams through mapInPandas emitting per-batch top-k, merged by a final
@@ -36,6 +38,7 @@ from pyspark.sql.window import Window
 
 from quarrycore_spark.plans.vectorops import (
     ANN_K,
+    ANN_LSH_BUCKET_CAP,
     CENT_STRIDE,
     IVF_NPROBE,
     LSH_BANDS,
@@ -85,8 +88,19 @@ def quantized_frame(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(compute, schema=_QV_SCHEMA)
 
 
+# Block sizing target for embedding_dup_pairs: each block-pair task holds
+# two blocks of ~n/B rows. B = max(8, ceil(sqrt(n / TARGET))) balances the
+# replication cost (n·B rows shuffled) against per-task block size (n/B):
+# per-task bytes ≈ 2·(n/B)·(DIM·8 + 24) for the id/q/na arrays, plus a
+# score-matrix chunk capped at _CHUNK_CELLS·8 = 16 MB by the chunked
+# matmul. At n = 10⁹, B = 100 → 10⁷ rows/block ≈ 5.4 GB/task — the
+# documented operating ceiling of the EXACT path (inherent O(n²) work);
+# beyond it, ann_lsh_pairs is the scale path.
+TARGET_ROWS_PER_TASK = 100_000
+
+
 def embedding_dup_pairs(
-    emb: DataFrame, cos_pct: int = PAIR_COS_PCT, n_blocks: int = 8
+    emb: DataFrame, cos_pct: int = PAIR_COS_PCT, n_blocks: int | None = None
 ) -> DataFrame:
     """All pairs with quantized cosine >= cos_pct/100 (dot>0), exact ints.
 
@@ -94,9 +108,17 @@ def embedding_dup_pairs(
     (min(i,j), max(i,j)); group (i,j) block-multiplies block i against
     block j (triangular within a diagonal group). Each unordered pair is
     produced in exactly one group, so no dedup pass is needed. Output is
-    identical to the SQL all-pairs join (plans/vectorops.py oracle).
+    identical to the SQL all-pairs join (plans/vectorops.py oracle) for
+    ANY n_blocks — the block count only changes the physical plan. When
+    n_blocks is None it derives from the table size (TARGET_ROWS_PER_TASK
+    above); bench-scale tables (< 6.4 M rows) resolve to the floor of 8.
     """
     thr = cos_pct * cos_pct
+    if n_blocks is None:
+        import math
+
+        n_rows = emb.count()
+        n_blocks = max(8, math.ceil(math.sqrt(max(n_rows, 1) / TARGET_ROWS_PER_TASK)))
     qv = quantized_frame(emb).filter(F.col("na") > 0)
     j = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("j")
     blocked = (
@@ -108,44 +130,65 @@ def embedding_dup_pairs(
     )
 
     def verify_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # The score matmul is chunked over left-side rows so the (chunk ×
+        # block) int64 matrix never exceeds _CHUNK_CELLS cells (16 MB) —
+        # block size bounds the Q arrays, the chunking bounds the matrix.
         bi, bj = int(key[0]), int(key[1])
         ids = pdf["vec_id"].to_numpy(np.int64)
         Q = np.stack(pdf["q"].to_numpy())
         na = pdf["na"].to_numpy(np.int64)
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("a_id", "b_id", "dot", "na", "nb")}
+        )
+
+        def emit(a_id, b_id, d, n_a, n_b):
+            # canonical (a_id < b_id) ordering
+            swap = a_id > b_id
+            a_id, b_id = np.where(swap, b_id, a_id), np.where(swap, a_id, b_id)
+            n_a, n_b = np.where(swap, n_b, n_a), np.where(swap, n_a, n_b)
+            keep = (d > 0) & (10000 * d * d >= thr * n_a * n_b)
+            return pd.DataFrame(
+                {
+                    "a_id": a_id[keep],
+                    "b_id": b_id[keep],
+                    "dot": d[keep],
+                    "na": n_a[keep],
+                    "nb": n_b[keep],
+                }
+            )
+
+        out = []
         if bi == bj:
-            dots = Q @ Q.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            a_id, b_id = ids[iu], ids[ju]
-            d = dots[iu, ju]
-            n_a, n_b = na[iu], na[ju]
+            n = len(ids)
+            if n < 2:
+                return empty
+            col = np.arange(n)
+            chunk = max(1, _CHUNK_CELLS // n)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                dots = Q[s:e] @ Q.T  # (e-s, n)
+                mask = col[None, :] > np.arange(s, e)[:, None]  # strict upper
+                li, ri = np.nonzero(mask)
+                out.append(
+                    emit(ids[li + s], ids[ri], dots[mask], na[li + s], na[ri])
+                )
         else:
             left = pdf["blk"].to_numpy(np.int64) == bi
             right = ~left
             nl, nr = int(left.sum()), int(right.sum())
             if nl == 0 or nr == 0:
-                return pd.DataFrame(
-                    {c: pd.Series(dtype="int64") for c in ("a_id", "b_id", "dot", "na", "nb")}
-                )
-            dots = Q[left] @ Q[right].T
-            li = np.repeat(np.arange(nl), nr)
-            ri = np.tile(np.arange(nr), nl)
-            a_id, b_id = ids[left][li], ids[right][ri]
-            n_a, n_b = na[left][li], na[right][ri]
-            d = dots.ravel()
-        # canonical (a_id < b_id) ordering
-        swap = a_id > b_id
-        a_id, b_id = np.where(swap, b_id, a_id), np.where(swap, a_id, b_id)
-        n_a, n_b = np.where(swap, n_b, n_a), np.where(swap, n_a, n_b)
-        keep = (d > 0) & (10000 * d * d >= thr * n_a * n_b)
-        return pd.DataFrame(
-            {
-                "a_id": a_id[keep],
-                "b_id": b_id[keep],
-                "dot": d[keep],
-                "na": n_a[keep],
-                "nb": n_b[keep],
-            }
-        )
+                return empty
+            Ql, Qr = Q[left], Q[right]
+            idl, idr = ids[left], ids[right]
+            nal, nar = na[left], na[right]
+            chunk = max(1, _CHUNK_CELLS // nr)
+            for s in range(0, nl, chunk):
+                e = min(s + chunk, nl)
+                dots = Ql[s:e] @ Qr.T  # (e-s, nr)
+                li = np.repeat(np.arange(s, e), nr)
+                ri = np.tile(np.arange(nr), e - s)
+                out.append(emit(idl[li], idr[ri], dots.ravel(), nal[li], nar[ri]))
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return blocked.groupBy("bi", "bj").applyInPandas(
         verify_block_pair,
@@ -494,14 +537,31 @@ def lsh_band_signatures(emb: DataFrame) -> DataFrame:
     )
 
 
-def ann_lsh_pairs(emb: DataFrame, cos_pct: int = LSH_COS_PCT) -> DataFrame:
+def ann_lsh_pairs(
+    emb: DataFrame, cos_pct: int = LSH_COS_PCT, cap: int = ANN_LSH_BUCKET_CAP
+) -> DataFrame:
     """Banded hyperplane LSH pairs, verified *inside each bucket* — the
     10^12-row scale shape: vectors are shuffled once to their (band, sig)
-    buckets, each bucket runs an in-memory numpy all-pairs verify, and only
-    verified pairs (ids + exact ints, no arrays) leave the bucket. A pair
-    sharing k bands is verified k times and deduped — cheaper than shuffling
-    quantized vectors through a multi-million-row candidate join."""
+    buckets — 16 bands × 65,536 signatures (LSH_BANDS × 2^LSH_PLANES_PER_BAND)
+    — each surviving bucket runs an in-memory numpy all-pairs verify, and
+    only verified pairs (ids + exact ints, no arrays) leave the bucket. A
+    pair sharing k bands is verified k times and deduped — cheaper than
+    shuffling quantized vectors through a multi-million-row candidate join.
+
+    The 2..cap bucket-size filter (same guard as the text LSH,
+    operators/lsh.py band_buckets) runs as a window count over the SAME
+    partitioning the groupBy needs — one exchange — BEFORE any bucket
+    reaches applyInPandas, so a dominant direction (all vectors near one
+    axis) can never materialize an O(bucket²) score matrix in one task:
+    its mega-buckets are dropped deterministically, identically in the
+    Spark plan and the SQL oracle."""
     sigs = lsh_band_signatures(emb).filter(F.col("na") > 0)
+    wb = Window.partitionBy("band_idx", "band_sig")
+    sigs = (
+        sigs.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= cap))
+        .drop("bsz")
+    )
     thr = cos_pct * cos_pct
 
     def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

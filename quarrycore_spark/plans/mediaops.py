@@ -10,8 +10,13 @@ reference's pipeline would run on crawled images), and pairs near-dup
 hashes with the pigeonhole band join. The DUCKDB oracle computes the same
 64-bit dHash arithmetically from the pixel formula (no decode) and joins
 all pairs at hamming <= HAMMING_MAX — pigeonhole guarantees the band join
-finds every such pair, and bucket sizes stay far under the cap by
-construction, so the two definitions are exactly equivalent.
+finds every such pair, and the Spark side bands over DISTINCT hash values
+(at most 97×8 = 776 here, whatever the doc count) before expanding back
+through identical-hash classes, so the two definitions are exactly
+equivalent at every scale factor — no bucket can approach the cap however
+many documents share a hash (pinned by
+tests/test_streaming_multimodal.py::test_phash_pairs_match_allpairs_at_scale
+at 20k docs).
 
 Pixel formula (RGB all equal; 9 columns × 8 rows):
     g = doc_id % 97                 (dup-group: same g ⇒ same base image)

@@ -6,7 +6,9 @@ semantic_dedup.py:211-396, re-expressed as joins):
 
 * brute-force quantized-cosine pairs / top-k — the correctness baseline;
 * random-hyperplane LSH bucketing — the 100TB path: candidates only from
-  equal 16-bit signatures, then exact verify.
+  equal 16-plane (65,536-value) band signatures across 16 bands, buckets
+  capped at 2..200 members (mega-buckets dropped deterministically, the
+  same guard as the text LSH), then exact verify inside the bucket.
 
 Determinism contract: embeddings are quantized to int (floor(x*1000+0.5))
 and every similarity comparison is exact int64 arithmetic — cosine
@@ -29,9 +31,19 @@ QUERY_STRIDE = 50  # vec_id % 50 == 0 are the top-k query points
 # The driver's synthetic embeddings are near-isotropic (max pairwise cosine
 # ≈0.51), so thresholds are calibrated to produce non-vacuous result sets.
 PAIR_COS_PCT = 30  # embedding near-dup threshold (cos >= 0.30)
-LSH_BANDS = 4      # banded hyperplane LSH: candidate iff any band matches
-LSH_PLANES_PER_BAND = 4
+# Banded hyperplane LSH: candidate iff any band's planes all agree in sign.
+# 16 planes per band = 65,536 signatures per band, so bucket population at
+# a given corpus size is ~n/65k per band BEFORE the 2..cap size filter —
+# the cap (ANN_LSH_BUCKET_CAP, mirroring the text LSH's bucket guard) is
+# what bounds the in-bucket O(size²) verify regardless of n. For corpora
+# where n/65k outgrows the cap (≳10⁷ vectors of one dominant direction),
+# raise LSH_PLANES_PER_BAND — each +1 plane halves expected bucket load.
+# Measured on the driver's embeddings (near-isotropic): sf0.01 → 5 pairs,
+# sf0.1 → 84 pairs, max bucket 3 — non-vacuous, no dropped buckets.
+LSH_BANDS = 16
+LSH_PLANES_PER_BAND = 16
 LSH_COS_PCT = 30
+ANN_LSH_BUCKET_CAP = 200
 
 
 def _qvec(dialect: str) -> str:
@@ -302,24 +314,29 @@ def _planes() -> np.ndarray:
 def _ann_lsh_pairs(dialect: str) -> str:
     """Banded random-hyperplane LSH near-dup pairs — the scale path:
     candidates come only from (band_idx, band_sig) bucket collisions
-    (any of 4 bands of 4 sign bits matching), then exact quantized-cosine
-    verification. At 10^12 rows this is an explode + groupBy/equi-join on
-    the band signature — never an all-pairs product."""
+    (any of 16 bands of 16 sign bits matching), restricted to buckets with
+    2..ANN_LSH_BUCKET_CAP members (singletons pair with nothing;
+    mega-buckets are a dominant direction — dropped deterministically,
+    same rule as the Spark operator and the text LSH), then exact
+    quantized-cosine verification. At 10^12 rows this is an explode +
+    capped groupBy/equi-join on the band signature — never an all-pairs
+    product, and never an uncapped in-bucket quadratic."""
     planes = _planes()
     band_exprs = []
     for band in range(LSH_BANDS):
         terms = []
         for j in range(LSH_PLANES_PER_BAND):
-            coeffs = ", ".join(str(c) for c in planes[band * LSH_PLANES_PER_BAND + j])
+            coeffs = planes[band * LSH_PLANES_PER_BAND + j]
+            # flat multiply-add chain, NOT a list_transform over a literal
+            # list: engines re-build the 64-element literal per lambda call,
+            # turning each plane dot into O(DIM²) list constructions
             if dialect == SPARK:
-                pdot = (
-                    f"aggregate(zip_with(array({coeffs}), q, (x, y) -> x * y), "
-                    f"0L, (acc, v) -> acc + v)"
+                pdot = " + ".join(
+                    f"({int(c)}L * q[{i}])" for i, c in enumerate(coeffs)
                 )
             else:
-                pdot = (
-                    f"list_sum(list_transform(range(0, {DIM}), "
-                    f"i -> ([{coeffs}])[i + 1] * q[i + 1]))::BIGINT"
+                pdot = " + ".join(
+                    f"({int(c)} * q[{i + 1}])" for i, c in enumerate(coeffs)
                 )
             terms.append(f"case when ({pdot}) > 0 then {1 << j} else 0 end")
         band_exprs.append("(" + " + ".join(terms) + ")")
@@ -331,14 +348,28 @@ def _ann_lsh_pairs(dialect: str) -> str:
     from quarrycore_spark.functions import dialect as D
 
     dot = _dot("a.q", "b.q", dialect)
+    # DuckDB inlines CTEs: without MATERIALIZED the 256-hyperplane _sig
+    # expression would be re-evaluated once per reference (the self-join
+    # alone reads it twice) — minutes instead of seconds at 16×16 planes.
+    mat = "" if dialect == SPARK else " MATERIALIZED"
     return f"""
 WITH {_qvec(dialect)},
-_sig AS (SELECT vec_id, q, na,
+_sig AS{mat} (SELECT vec_id, q, na,
          {D.posexplode(bands_arr, 'band_idx', 'band_sig', dialect)}
          FROM _qv WHERE na > 0),
+_ok AS (
+  SELECT band_idx, band_sig FROM _sig
+  GROUP BY band_idx, band_sig
+  HAVING count(*) >= 2 AND count(*) <= {ANN_LSH_BUCKET_CAP}
+),
+_sigf AS (
+  SELECT s.vec_id, s.band_idx, s.band_sig
+  FROM _sig s JOIN _ok o
+    ON s.band_idx = o.band_idx AND s.band_sig = o.band_sig
+),
 _cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM _sig a JOIN _sig b
+  FROM _sigf a JOIN _sigf b
     ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
    AND a.vec_id < b.vec_id
 ),

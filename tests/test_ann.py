@@ -83,6 +83,77 @@ def test_ivf_probes_distributed_tiebreak(spark):
         assert got[qid] == want, f"query {qid}: {got[qid]} != {want}"
 
 
+def _correlated_embeddings(spark, n: int = 300, seed: int = 11, noise: float = 0.0):
+    """Adversarial LSH input: every vector on (noise=0) or in a tight cone
+    around (noise>0) ONE direction — each band collapses to one or two
+    mega-buckets."""
+    rng = np.random.default_rng(seed)
+    base = np.ones(DIM)
+    rows = [
+        (i, [float(x) for x in base + noise * rng.standard_normal(DIM)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_lsh_mega_buckets_dropped(spark):
+    """A dominant direction must never reach the in-bucket quadratic
+    verify: buckets above the cap are dropped BEFORE applyInPandas, so the
+    capped result is empty here (every band holds ONE bucket of all n
+    vectors), while a raised cap proves the pairs exist and the drop was
+    the guard's doing. This is the 10^12-row safety property: task cost is
+    O(cap²) however correlated the corpus is."""
+    from quarrycore_spark.operators.ann import ann_lsh_pairs, lsh_band_signatures
+    from quarrycore_spark.plans.vectorops import LSH_BANDS
+
+    emb = _correlated_embeddings(spark, n=300, noise=0.0)
+    sizes = (
+        lsh_band_signatures(emb)
+        .groupBy("band_idx", "band_sig")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) == 300
+    assert len(sizes) == LSH_BANDS  # total collapse: one bucket per band
+    capped = ann_lsh_pairs(emb).collect()
+    assert capped == []  # all buckets over cap -> dropped deterministically
+    uncapped = ann_lsh_pairs(emb, cap=1000).collect()
+    assert len(uncapped) == 300 * 299 // 2  # the pairs exist; the cap dropped them
+
+
+def test_ann_lsh_cone_mostly_dropped(spark):
+    """With small noise a near-balanced hyperplane may SPLIT the cone and
+    leave a sub-cap splinter bucket — those legitimately survive; the cap
+    must still have removed the mega-buckets (output far below the full
+    clique)."""
+    from quarrycore_spark.operators.ann import ann_lsh_pairs
+
+    emb = _correlated_embeddings(spark, n=300, noise=0.001)
+    capped = ann_lsh_pairs(emb).collect()
+    full = 300 * 299 // 2
+    assert len(capped) < full // 10  # mega-buckets gone, splinters may stay
+    assert len(ann_lsh_pairs(emb, cap=1000).collect()) == full
+
+
+def test_ann_lsh_cap_keeps_small_buckets(spark):
+    """The 2..cap filter drops ONLY mega-buckets: a mixed corpus (one
+    correlated clique + isotropic noise) keeps its small-bucket pairs."""
+    from quarrycore_spark.operators.ann import ann_lsh_pairs
+
+    rng = np.random.default_rng(5)
+    base = np.ones(DIM)
+    rows = [
+        (i, [float(x) for x in base + 0.001 * rng.standard_normal(DIM)])
+        for i in range(3)  # small clique: bucket size 3, well under cap
+    ] + [
+        (100 + i, [float(x) for x in rng.standard_normal(DIM)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["a_id"], r["b_id"]) for r in ann_lsh_pairs(emb).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+
+
 def test_ann_topk_query_cap_raises(spark):
     emb = _skewed_embeddings(spark, n=30)
     with pytest.raises(RuntimeError, match="query vectors"):

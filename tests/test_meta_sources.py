@@ -48,8 +48,9 @@ def test_embedding_dup_pairs_blocking_invariant(spark):
             for r in embedding_dup_pairs(emb, n_blocks=n_blocks).collect()
         )
 
-    p1, p3, p8 = pairs(1), pairs(3), pairs(8)
-    assert p1 == p3 == p8
+    # None = derive from table size (resolves to the floor of 8 here)
+    p1, p3, p8, pauto = pairs(1), pairs(3), pairs(8), pairs(None)
+    assert p1 == p3 == p8 == pauto
     assert len(p1) > 0
 
 
