@@ -82,6 +82,7 @@ HEADLINE = [
     "ivf_topk",
     "content_metrics",
     "media_phash_pairs",
+    "doc_link_stats",
     "source_dedup_stats",
     "event_props_metadata",
     "stratified_sample",

@@ -8,11 +8,14 @@ materializes, a service between registry runs) call ``release_tracked()`` to
 unpersist the backlog. Unpersisting is always safe — a later action merely
 recomputes — so eager release never affects correctness, only warmth.
 
-Tracked frames are keyed by the owning SparkSession's applicationId (same
-discipline as plans/registry._SIG_CACHE): ``release_tracked()`` called from
-one session cannot unpersist frames a concurrently running pipeline in
-another session still needs, and a stopped application's entries are
-dropped rather than accumulating.
+Tracked frames are keyed by the owning application's applicationId (same
+discipline as plans/registry._SIG_CACHE): ``release_tracked()`` called
+from one APPLICATION cannot unpersist frames a concurrently running
+pipeline in another application still needs, and a stopped application's
+entries are dropped rather than accumulating. The isolation unit is the
+application, not the SparkSession — sessions sharing one SparkContext
+share an applicationId and therefore one tracked pool, which matches
+Spark's storage model (persisted blocks live in the shared context).
 """
 
 from __future__ import annotations
@@ -44,10 +47,23 @@ def release_tracked(spark: SparkSession | None = None) -> int:
     session's application when omitted). Returns the number released."""
     if spark is None:
         spark = SparkSession.getActiveSession()
-    if spark is None:  # no live session: drop all bookkeeping
-        n = sum(len(v) for v in _TRACKED.values())
-        _TRACKED.clear()
-        return n
+    if spark is None:
+        # No session active in THIS thread — but other applications may
+        # still be running and their frames must stay releasable, not be
+        # silently dropped from the bookkeeping. Unpersist (and drop)
+        # entries of live applications; entries of stopped applications
+        # hold nothing persisted anymore and are just dropped.
+        released = 0
+        for key in list(_TRACKED):
+            for df in _TRACKED.pop(key):
+                try:
+                    sc = df.sparkSession.sparkContext
+                    if sc._jsc is not None and not sc._jsc.sc().isStopped():
+                        df.unpersist()
+                        released += 1
+                except Exception:
+                    pass  # application stopped mid-check
+        return released
     try:
         key = _app_id(spark)
     except Exception:  # session stopped mid-call

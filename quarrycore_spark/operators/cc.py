@@ -101,8 +101,11 @@ def connected_components(
     RESTARTS the loop rather than resuming mid-iteration (the whole loop is
     seconds at that size; redoing it is cheaper than the parquet barriers).
     A stale manifest from a previous run is only honored when
-    ``resume=True``; pass ``resume=False`` (what ``run_pipeline`` forwards
-    on fresh runs) or clear ``checkpoint_dir`` when the edge input changed.
+    ``resume=True`` AND its recorded input identity — the (count, checksum)
+    of the deduplicated edge input, written into every manifest — matches
+    this run's input. A manifest from a different edge set (or a legacy
+    manifest without the identity) is ignored with a warning and the loop
+    restarts from iteration 0 instead of silently resuming wrong state.
     """
     global LAST_ITERATIONS
     LAST_ITERATIONS = -1
@@ -124,16 +127,29 @@ def connected_components(
     # probe; amortized over the iterative loop it protects.)
     state = state.localCheckpoint()
 
+    # Identity of THIS run's edge input (one aggregate job — the loop it
+    # guards is many jobs). Also serves as the loop's initial convergence
+    # checksum on a fresh start.
+    input_sum = _checksum(state)
+
     manifest_path = os.path.join(checkpoint_dir, "manifest.json") if checkpoint_dir else None
+    prev_sum = input_sum
     if manifest_path and resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             man = json.load(f)
-        start_iter = man["iteration"] + 1
-        state = spark.read.parquet(man["path"])
-        if man.get("converged"):
-            return _labels(state, vertices)
-
-    prev_sum = _checksum(state)
+        rec = man.get("input")
+        if rec is not None and tuple(rec) == input_sum:
+            start_iter = man["iteration"] + 1
+            state = spark.read.parquet(man["path"])
+            prev_sum = (man["edges"], man["checksum"])
+            if man.get("converged"):
+                return _labels(state, vertices)
+        else:
+            log.warning(
+                "connected_components: checkpoint manifest at %s records a "
+                "different edge input (or none) — restarting from iteration "
+                "0 instead of resuming stale state", manifest_path,
+            )
     converged = False
     for it in range(start_iter, max_iter):
         # size the iteration to the edge count: a dup-pair graph is tiny
@@ -167,7 +183,8 @@ def connected_components(
             with open(tmp, "w") as f:
                 json.dump(
                     {"iteration": it, "path": os.path.join(checkpoint_dir, f"iter_{it}"),
-                     "converged": converged, "edges": cur[0], "checksum": cur[1]},
+                     "converged": converged, "edges": cur[0], "checksum": cur[1],
+                     "input": list(input_sum)},
                     f,
                 )
             os.replace(tmp, manifest_path)  # atomic, like the reference's

@@ -148,6 +148,7 @@ def with_datasketch_signatures(
     text_col: str = "text",
     banding: tuple[int, int] | None = None,
     simhash: bool = False,
+    simhash_bits: int | None = None,
 ) -> DataFrame:
     """Arrow-batched datasketch-scheme signatures over the same normalized
     7-char shingles as the default family.
@@ -157,7 +158,9 @@ def with_datasketch_signatures(
     (operators/lsh.py verified_pairs / candidate_pairs) consume — a drop-in
     signature family for the pipeline's near-dup stage. ``simhash=True``
     additionally carries the (family-independent) poly SimHash so the frame
-    satisfies the full pipeline stage contract (signatures.SIG_SCHEMA)."""
+    satisfies the full pipeline stage contract (signatures.SIG_SCHEMA);
+    ``simhash_bits`` sets its width (defaults to DEFAULT_CONFIG's) and must
+    match the DedupConfig the downstream Hamming blocking reads."""
     import hashlib as _hl
 
     from quarrycore_spark.operators.signatures import (
@@ -173,9 +176,11 @@ def with_datasketch_signatures(
         )
     if simhash and banding is None:
         raise ValueError("simhash=True requires banding (pipeline shape)")
-    from quarrycore_spark.config import DEFAULT_CONFIG as _DC
+    if simhash_bits is None:
+        from quarrycore_spark.config import DEFAULT_CONFIG as _DC
 
-    _sim_bits = _DC.simhash_bits
+        simhash_bits = _DC.simhash_bits
+    _sim_bits = simhash_bits
 
     a, b = permutations(num_perm, seed)
 

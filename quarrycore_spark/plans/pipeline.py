@@ -209,6 +209,9 @@ def run_pipeline(
         .select("doc_id", F.col("extracted_text").alias("text"))
     )
     def build_sigs():
+        # content_hash is dropped before the checkpoint: the pipeline's
+        # exact layer reads extraction's hash, so the 64-hex column would
+        # be ~64 B/doc of write+read the pair stages never touch.
         if family == "datasketch":
             from quarrycore_spark.operators.datasketch_compat import (
                 optimal_param,
@@ -218,11 +221,11 @@ def run_pipeline(
             nb, nr = optimal_param(cfg.jaccard_threshold_pct / 100, cfg.num_perm)
             return with_datasketch_signatures(
                 survivors, cfg.shingle_size, cfg.num_perm,
-                banding=(nb, nr), simhash=True,
-            )
+                banding=(nb, nr), simhash=True, simhash_bits=cfg.simhash_bits,
+            ).drop("content_hash")
         # "poly" = the vectorized rolling-hash family (signatures.py) —
         # same shingle/permutation/banding structure, ~300× cheaper per doc
-        return with_signatures(survivors, cfg, family=family)
+        return with_signatures(survivors, cfg, family=family).drop("content_hash")
 
     sigs = _stage(
         spark, out_dir, man, "signatures", build_sigs,

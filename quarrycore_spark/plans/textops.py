@@ -164,6 +164,31 @@ _LANG_WORDLISTS = {
     "id": ["yang", "dan", "di", "itu", "dengan", "ini", "untuk", "dari", "tidak", "pada"],
     "vi": ["và", "của", "là", "có", "không", "được", "trong", "một", "cho", "này"],
     "el": ["και", "το", "να", "της", "την", "είναι", "με", "που", "για", "από"],
+    # second tier by web-corpus frequency — space-delimited scripts only
+    # (zh/ja/th lack word boundaries; a stopword vote over split(' ') can't
+    # see them, so they deliberately stay out and fall to 'und' rather than
+    # being guessed wrong — the reference's fastText model is the lever
+    # this heuristic honestly cannot replace, SURVEY §8)
+    "uk": ["і", "в", "не", "на", "що", "з", "до", "як", "це", "за"],
+    "bg": ["и", "на", "в", "не", "се", "за", "да", "е", "от", "с"],
+    "sk": ["a", "je", "sa", "na", "to", "v", "že", "som", "ako", "ale"],
+    "hr": ["i", "je", "u", "na", "se", "da", "su", "za", "s", "ne"],
+    "lt": ["ir", "yra", "kad", "tai", "su", "bet", "kaip", "iš", "jis", "buvo"],
+    "lv": ["un", "ir", "ka", "par", "ar", "kā", "tas", "no", "uz", "bet"],
+    "et": ["ja", "on", "ei", "et", "see", "oli", "ta", "kui", "oma", "ka"],
+    "sl": ["in", "je", "da", "se", "na", "za", "ki", "so", "bi", "pa"],
+    "ca": ["i", "de", "la", "el", "que", "a", "les", "els", "amb", "per"],
+    "ms": ["dan", "yang", "di", "itu", "dengan", "ini", "untuk", "pada", "adalah", "ke"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "التي", "كان"],
+    "fa": ["و", "در", "به", "از", "که", "این", "را", "با", "است", "برای"],
+    "he": ["של", "את", "על", "לא", "זה", "הוא", "עם", "כי", "גם", "אני"],
+    "hi": ["के", "में", "की", "है", "और", "से", "का", "को", "पर", "यह"],
+    "bn": ["এবং", "একটি", "এই", "করে", "থেকে", "তার", "সঙ্গে", "হয়", "জন্য", "না"],
+    "ko": ["그리고", "있다", "하는", "것이", "으로", "에서", "그", "수", "있는", "한다"],
+    "az": ["və", "bu", "bir", "ki", "ilə", "üçün", "olan", "da", "də", "olaraq"],
+    "sq": ["dhe", "të", "në", "një", "për", "me", "që", "është", "nga", "si"],
+    "af": ["die", "en", "van", "het", "is", "in", "nie", "om", "op", "met"],
+    "sw": ["na", "ya", "wa", "kwa", "ni", "za", "katika", "la", "kuwa", "hii"],
 }
 
 # Confidence floor: fewer than this many distinct stopword hits for the best
@@ -174,7 +199,7 @@ MIN_LANG_VOTES = 2
 
 
 def _lang_id(dialect: str) -> str:
-    """P8: stopword-vote language ID over 20 languages (n-gram-heuristic
+    """P8: stopword-vote language ID over 40 languages (n-gram-heuristic
     analogue of the reference's fastText lid.176 detector,
     language_detector.py — same contract: top-1 vote with a deterministic
     tie-break in declaration order, 'und' below the confidence floor).

@@ -96,6 +96,7 @@ def streaming_lsh_pairs(
     docs_stream: DataFrame,
     cfg=None,
     cap: int = 200,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Stateful streaming near-dup detection via ``applyInPandasWithState``
     — the Structured Streaming expression of the reference's Redis LSH
@@ -111,9 +112,22 @@ def streaming_lsh_pairs(
     dropDuplicates is the consumer's choice (kept out so the operator
     stays watermark-free).
 
-    State per bucket is capped at ``cap`` members (the streaming analogue
-    of the batch bucket cap: boilerplate mega-buckets stop accumulating
-    and stop producing pairs, deterministically).
+    State per bucket is capped at ``cap`` members — the streaming analogue
+    of the batch bucket cap: once a bucket REACHES the cap it is treated
+    as a boilerplate mega-bucket and goes inert (no further inserts AND no
+    further pair emission, matching the batch operator's drop-the-bucket
+    guard). One semantic difference from batch is inherent to streaming:
+    pairs emitted before the bucket hit the cap are already downstream and
+    cannot be retracted, whereas the batch operator drops the whole bucket
+    retroactively.
+
+    ``state_ttl_ms`` bounds state for long-running streams: bucket state
+    idle longer than the TTL is evicted via processing-time timeout, so
+    total state plateaus at (buckets touched within one TTL window) × cap
+    instead of growing with the key space forever. Docs arriving after
+    their bucket expired re-seed an empty bucket — pairs spanning more
+    than the TTL are missed, the standard state-retention trade
+    (None = the reference's Redis protocol, which also never expires).
     """
     import numpy as np
     import pandas as pd
@@ -136,6 +150,10 @@ def streaming_lsh_pairs(
     )
 
     def update(key, pdfs, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: evict the bucket, emit nothing
+            state.remove()
+            return
         if state.exists:
             ids_l, sig_flat = state.get
             ids = list(ids_l)
@@ -148,6 +166,8 @@ def streaming_lsh_pairs(
             # deterministic arrival order inside the batch
             pdf = pdf.sort_values("doc_id")
             for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                if len(ids) >= cap:
+                    break  # mega-bucket: inert — no inserts, no pairs
                 if doc_id in ids:
                     continue  # replayed row
                 s = np.asarray(sig, dtype=np.int64)
@@ -159,10 +179,11 @@ def streaming_lsh_pairs(
                         out_a.append(a)
                         out_b.append(b)
                         out_c.append(int(agree[h]))
-                if len(ids) < cap:
-                    ids.append(int(doc_id))
-                    mat = np.vstack([mat, s[None, :]])
+                ids.append(int(doc_id))
+                mat = np.vstack([mat, s[None, :]])
         state.update((ids, [int(x) for x in mat.ravel()]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if out_a:
             yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "agree_cnt": out_c})
 
@@ -173,5 +194,9 @@ def streaming_lsh_pairs(
         outputStructType="a_id long, b_id long, agree_cnt long",
         stateStructType="ids array<long>, sig_flat array<long>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -85,6 +85,43 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     assert rewound == full
 
 
+def test_cc_resume_rejects_changed_edge_input(spark, tmp_path):
+    """A manifest from a DIFFERENT edge set must not be resumed: the
+    manifest records the input's (count, checksum) and a mismatch restarts
+    the loop from iteration 0 — resuming another graph's star state would
+    silently merge its components into this run's answer."""
+    import networkx as nx
+
+    n, edges_a = _random_graph(11, 120, 90)
+    _, edges_b = _random_graph(12, 120, 90)  # same sizes, different graph
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    ckpt = str(tmp_path / "cc_guard")
+    # run A populates the manifest (converged=True recorded)
+    connected_components(
+        spark.createDataFrame(edges_a, "u long, v long"), vdf,
+        checkpoint_dir=ckpt, min_checkpoint_edges=0, small_graph_edges=0,
+    ).collect()
+    # run B with resume=True over A's manifest: must RESTART, not resume —
+    # with a converged manifest honored, the loop would short-circuit and
+    # return A's clusters for B's edges
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame(edges_b, "u long, v long"), vdf,
+            checkpoint_dir=ckpt, min_checkpoint_edges=0, small_graph_edges=0,
+        ).collect()
+    }
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(edges_b)
+    expected = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for node in comp:
+            expected[node] = root
+    assert got == expected
+
+
 def test_cc_small_graph_skips_parquet(spark, tmp_path):
     """Below min_checkpoint_edges the loop stays in memory: no per-iteration
     parquet, no manifest — and the labels are still correct."""

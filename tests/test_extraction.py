@@ -92,3 +92,137 @@ def test_cascade_prefers_selector_above_gate():
     text, tier, q, accepted = cascade_extract(page, lang="en", threshold_scaled=60)
     assert accepted and tier == "selector" and q >= 60
     assert "ad ad ad" not in text
+
+
+# --- realistic boilerplate-heavy article pages ------------------------------
+# Modeled on the reference's canonical-HTML test pages
+# (tests/unit/test_canonical_html.py:19-287) plus the page furniture real
+# articles carry: cookie banners, share toolbars, newsletter prompts,
+# related-links rails, comment sections. The golden strings pin precision:
+# the selector tier must extract EXACTLY the article, while the strict tier
+# (whole-body minus nav/header/footer/aside) demonstrably keeps the
+# boilerplate — the gap the cascade exists to close.
+
+_NEWS_PAGE = b"""<html><head><title>Quarterly results</title>
+<script>window.dataLayer=[];gtag('config','UA-1');</script>
+<style>.cookie{position:fixed}</style></head>
+<body>
+<div class="cookie-banner">We use cookies to improve your experience.
+  <button>Accept all</button><button>Manage preferences</button></div>
+<header><nav><a href="/">Front page</a><a href="/markets">Markets</a></nav></header>
+<div class="share-toolbar">Share on: Facebook Twitter LinkedIn Email</div>
+<article>
+  <h1>Acme posts record quarterly results</h1>
+  <p>Acme Corporation reported revenue of 4.2 billion for the third
+  quarter, beating analyst expectations.</p>
+  <p>Operating margin expanded to 31 percent on datacenter demand.</p>
+</article>
+<div class="newsletter"><h4>Subscribe to our newsletter</h4>
+  <input placeholder="email"><button>Sign up</button></div>
+<section class="comments"><h3>42 comments</h3>
+  <div class="comment">First!</div><div class="comment">Great quarter.</div></section>
+<div class="related-rail"><h3>Related stories</h3>
+  <a href="/a1">Acme hires CFO</a><a href="/a2">Sector outlook dims</a></div>
+<footer>&copy; 2024 Example Newswire &middot; cookie policy &middot; archive</footer>
+</body></html>"""
+
+
+def test_news_page_selector_beats_strict():
+    got = extract_selector_text(_NEWS_PAGE)
+    assert got == (
+        "Acme posts record quarterly results Acme Corporation reported "
+        "revenue of 4.2 billion for the third quarter, beating analyst "
+        "expectations. Operating margin expanded to 31 percent on "
+        "datacenter demand."
+    )
+    strict = extract_main_text(_NEWS_PAGE)
+    # strict keeps the furniture the selector tier drops — every one of
+    # these is a real-page boilerplate class the reference's trafilatura
+    # tier strips
+    for noise in ("cookies", "Share on", "Subscribe", "42 comments",
+                  "Related stories"):
+        assert noise in strict and noise not in got
+
+
+_BLOG_PAGE = b"""<html><head><title>Sourdough notes</title></head><body>
+<div id="cookie-consent">This site uses cookies. <a href="/privacy">Learn
+more</a><button>OK</button></div>
+<header class="masthead">Flour &amp; Water &mdash; a baking blog</header>
+<aside class="sidebar"><h3>Archives</h3><ul><li>January</li><li>February</li>
+</ul><h3>Blogroll</h3><a href="https://friend.example">friend blog</a></aside>
+<div class="post-content">
+  <h2>Hydration, temperature, patience</h2>
+  <p>Seventy-five percent hydration works for most bread flour; go higher
+  only once shaping feels easy.</p>
+  <p>Cold retard overnight &amp; bake from the fridge.</p>
+</div>
+<div class="related-posts"><a href="/p1">Starter maintenance</a>
+<a href="/p2">Scoring patterns</a></div>
+<footer><div class="tags">bread, sourdough</div>copyright me</footer>
+</body></html>"""
+
+
+def test_blog_post_content_class_and_entities():
+    got = extract_selector_text(_BLOG_PAGE)
+    assert got == (
+        "Hydration, temperature, patience Seventy-five percent hydration "
+        "works for most bread flour; go higher only once shaping feels "
+        "easy. Cold retard overnight & bake from the fridge."
+    )
+    strict = extract_main_text(_BLOG_PAGE)
+    # strict drops aside/footer but keeps the cookie overlay and related rail
+    assert "cookies" in strict and "Starter maintenance" in strict
+    text, tier, _q, accepted = cascade_extract(_BLOG_PAGE, lang="en")
+    assert accepted and tier == "selector" and text == got
+
+
+_DOCS_PAGE = b"""<body>
+<div class="cookie">cookie notice</div>
+<main>
+  <nav class="breadcrumbs"><a href="/">Docs</a> / <a href="/api">API</a></nav>
+  <h1>Configuration reference</h1>
+  <p>Set <code>max_workers</code> to the executor core count.</p>
+  <aside class="version-picker">v1.0 v1.1 v2.0</aside>
+  <p>Values above 64 are clamped.</p>
+  <footer class="page-feedback">Was this page helpful?</footer>
+</main>
+<div class="toc-rail">On this page: Overview, Options</div>
+</body>"""
+
+
+def test_docs_page_chrome_inside_main_removed():
+    # nav/aside/footer INSIDE the declared region are still chrome
+    got = extract_selector_text(_DOCS_PAGE)
+    assert got == (
+        "Configuration reference Set max_workers to the executor core "
+        "count. Values above 64 are clamped."
+    )
+    assert "breadcrumbs" not in got and "helpful" not in got
+    assert "On this page" not in got  # outside main
+
+
+def test_unclosed_article_extends_to_end():
+    # real pages are malformed; the balanced-block walk must not lose the
+    # tail of an unclosed content region (reference regex fallback keeps it)
+    page = b"<body><nav>m</nav><article><p>Start of text.<p>And the rest"
+    assert extract_selector_text(page) == "Start of text. And the rest"
+
+
+def test_selector_precision_metric_on_fixture_corpus():
+    """Aggregate precision pin: across the realistic fixtures, the selector
+    tier never emits a boilerplate marker and always keeps the article
+    opening — the measurable sense in which it beats the strict tier."""
+    fixtures = [_BOILERPLATE_PAGE, _NEWS_PAGE, _BLOG_PAGE, _DOCS_PAGE]
+    markers = ("cookie", "Subscribe", "Share on", "Trending", "BUY NOW",
+               "Related", "comments", "Blogroll", "copyright")
+    openings = ("The Widget 3000 reviewed", "Acme posts record",
+                "Hydration, temperature", "Configuration reference")
+    sel_noise = strict_noise = 0
+    for page, opening in zip(fixtures, openings):
+        sel = extract_selector_text(page)
+        strict = extract_main_text(page)
+        assert sel.startswith(opening) and opening in strict
+        sel_noise += sum(m in sel for m in markers)
+        strict_noise += sum(m in strict for m in markers)
+    assert sel_noise == 0
+    assert strict_noise >= 8  # strict demonstrably keeps the furniture

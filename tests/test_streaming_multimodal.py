@@ -190,6 +190,159 @@ def test_real_decode_features_and_phash_pairs(spark):
     assert (1, 4) not in pairs
 
 
+def test_phash_pairs_match_allpairs_at_scale(spark):
+    """The banded join must equal the uncapped all-pairs definition at ANY
+    doc count. 20,000 docs is the size where row-level banding used to blow
+    its bucket cap and silently drop most pair-classes; the distinct-hash
+    join + class expansion now reproduces the arithmetic all-pairs count
+    and hamming checksum exactly (bucket load is bounded by the 776
+    distinct hashes, not the 20k rows)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from quarrycore_spark.multimodal.stubs import phash_near_dup_pairs
+    from quarrycore_spark.plans.mediaops import HAMMING_MAX, pixel_grid
+
+    def phash(doc_id: int) -> int:
+        p = pixel_grid(doc_id).astype(int)
+        h = 0
+        for y in range(8):
+            for x in range(8):
+                if p[y, x + 1] > p[y, x]:
+                    h |= 1 << (y * 8 + x)
+        return h
+
+    N = 20000
+    cache: dict = {}
+    hashes = []
+    for i in range(N):
+        key = (i % 97, (i // 97) % 8)
+        if key not in cache:
+            cache[key] = phash(i)
+        hashes.append(cache[key])
+
+    by_hash = Counter(hashes)
+    vals = sorted(by_hash)
+    exp_pairs = sum(m * (m - 1) // 2 for m in by_hash.values())  # hamming 0
+    exp_hsum = 0
+    for ai in range(len(vals)):
+        for bi in range(ai + 1, len(vals)):
+            h = bin(vals[ai] ^ vals[bi]).count("1")
+            if h <= HAMMING_MAX:
+                exp_pairs += by_hash[vals[ai]] * by_hash[vals[bi]]
+                exp_hsum += h * by_hash[vals[ai]] * by_hash[vals[bi]]
+
+    feats = spark.createDataFrame(
+        [(int(i), int(h)) for i, h in enumerate(hashes)],
+        "media_id long, phash long",
+    )
+    got = (
+        phash_near_dup_pairs(feats, hamming_max=HAMMING_MAX)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hamming").alias("hsum"))
+        .collect()[0]
+    )
+    assert got["n"] == exp_pairs
+    assert got["hsum"] == exp_hsum
+
+
+def test_streaming_lsh_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    """state_ttl_ms bounds state on long-running streams: a bucket idle
+    past the TTL is evicted (processing-time timeout), so a near-dup
+    arriving later re-seeds an empty bucket instead of pairing, and the
+    state-store row count ends BELOW the no-TTL run's on the identical
+    batch sequence (expired buckets left the store)."""
+    import time
+
+    from quarrycore_spark.config import DEFAULT_CONFIG as CFG
+    from quarrycore_spark.streaming.dedup_stream import streaming_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the crawler "
+        "fetches pages and the dedup engine builds minhash signatures "
+        "over seven character shingles for near duplicate detection "
+    ) * 3
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, base)],
+        [(2, "unrelated filler content that advances processing time and "
+             "triggers expired-timer eviction for idle buckets " * 4)],
+        [(3, base.replace("lazy", "idle"))],  # near-dup of doc 1
+    ]
+
+    def run(ttl_ms, name):
+        # Continuous query with a 500 ms trigger: with processing-time
+        # timeouts the engine schedules timer-check batches even without
+        # data, so (a) an untriggered query busy-loops thousands of empty
+        # batches, and (b) processAllAvailable never observes quiescence —
+        # instead, poll recentProgress until each written file's rows were
+        # consumed. Timers registered in phase i fire in whatever batch
+        # runs after expiry (usually an empty one during the sleep);
+        # groups with no new data in that batch are evicted.
+        src = str(tmp_path / f"src_{name}")
+        os.makedirs(src, exist_ok=True)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_lsh_pairs(stream, CFG, state_ttl_ms=ttl_ms)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"lsh_ttl_{name}")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+        def consumed() -> int:
+            return int(sum(p["numInputRows"] for p in q.recentProgress))
+
+        expect = 0
+        phase_totals = []
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            expect += len(rows)
+            t0 = time.time()
+            while consumed() < expect:
+                assert time.time() - t0 < 120, f"phase {i} rows never consumed"
+                time.sleep(0.3)
+            time.sleep(1.0)  # let the phase's state commit land in progress
+            sts = [
+                s["numRowsTotal"]
+                for p in q.recentProgress
+                for s in p.get("stateOperators") or []
+            ]
+            phase_totals.append(max(sts) if sts else 0)
+            if i == 0 and ttl_ms is not None:
+                time.sleep((ttl_ms / 1000) + 1.5)  # let doc 1's timers expire
+        removed = sum(
+            s.get("numRowsRemoved", 0) or 0
+            for p in q.recentProgress
+            for s in p.get("stateOperators") or []
+        )
+        totals = [
+            s["numRowsTotal"]
+            for p in q.recentProgress
+            for s in p.get("stateOperators") or []
+        ]
+        q.stop()
+        pairs = {
+            (r["a_id"], r["b_id"])
+            for r in spark.sql(f"select * from lsh_ttl_{name}").collect()
+        }
+        return pairs, removed, totals, phase_totals
+
+    pairs_ttl, removed_ttl, totals_ttl, ph_ttl = run(1500, "on")
+    pairs_off, removed_off, _, _ = run(None, "off")
+    assert (1, 3) in pairs_off  # control: without TTL the pair surfaces
+    assert (1, 3) not in pairs_ttl  # expired bucket no longer matches
+    assert removed_ttl > 0  # evicted buckets left the state store
+    assert removed_off == 0
+    # plateau: eviction keeps the state at ~(live buckets), not the
+    # cumulative union of every bucket ever touched
+    assert max(totals_ttl) <= 2 * ph_ttl[0] + 2
+
+
 def test_streaming_lsh_pairs_stateful_cross_batch(spark, tmp_path):
     """applyInPandasWithState LSH: a near-dup pair split across TWO
     micro-batches must surface via bucket state (the streaming analogue of
