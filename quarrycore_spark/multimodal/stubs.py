@@ -151,7 +151,14 @@ def phash_near_dup_pairs(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    classes = features.filter(F.col("phash").isNotNull()).select("media_id", "phash")
+    from quarrycore_spark.operators._cache import track
+
+    # slim (media_id, phash) projection, persisted: four consumers below
+    # (band explode, both class-join sides, within-class self-join) would
+    # otherwise each re-run the upstream decode pass
+    classes = track(
+        features.filter(F.col("phash").isNotNull()).select("media_id", "phash")
+    )
     n_bands, width = 8, 8
     mask = (1 << width) - 1
     bands = F.array(

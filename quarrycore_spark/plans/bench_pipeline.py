@@ -48,7 +48,15 @@ def main() -> None:
         # machine-wide stall — 4×128 MB default buffers cost ~10 s on the
         # 4-core leg alone. 32 MB row groups are still large enough that
         # scan-side columnar batching is unaffected at these table sizes.
-        extra_conf={"spark.hadoop.parquet.block.size": str(32 * 1024 * 1024)},
+        extra_conf={
+            "spark.hadoop.parquet.block.size": str(32 * 1024 * 1024),
+            # 2k-row Arrow batches (~4 MB of text in, ~2.5 MB of signatures
+            # out): buffers this size are recycled by the allocator pools
+            # on both sides of the IPC instead of being freshly mapped per
+            # batch — fresh mappings are a machine-wide serialized cost
+            # here that lands on the multi-core legs as non-scaling wall.
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        },
     )
     ensure_py_files(spark)
     if warmup_path is not None:
