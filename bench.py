@@ -278,8 +278,9 @@ def main() -> None:
         # expensive N draw, then two more 4N draws to converge min(T_4N).
         plan = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N * 4]
         # Extras while budget allows: another 4N draw, then another N draw
-        # (keeps the numerator honest too), then 4N again.
-        extras = [SCALE_N * 4, SCALE_N, SCALE_N * 4]
+        # (keeps the numerator honest too — min(T_N) may only drop), then
+        # more 4N draws to converge the denominator.
+        extras = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N * 4]
         for rep, cores in enumerate(plan + extras):
             if not run_leg(cores, rep) and cores == SCALE_N and SCALE_N not in runs:
                 # the one N draw didn't fit/complete — no efficiency possible,
