@@ -76,6 +76,15 @@ def test_oracle_parity(spark, name):
     print(f"{name}: {n} rows OK")
 
 
+def test_exact_dup_pairs_nonvacuous_at_sf01(spark):
+    """The sf0.01 documents table happens to contain no exact duplicates,
+    so the driver's exact_dup_pairs check is vacuously green there; sf0.1
+    DOES contain duplicated texts — assert the pair query actually fires
+    and stays oracle-equal on that data."""
+    n = compare_query(spark, "exact_dup_pairs", "/root/testdata/sf0.1")
+    assert n > 0
+
+
 def test_release_discipline_storage_stable(spark):
     """Three consecutive full dedup-registry runs with release between them
     leave zero persisted RDDs — no storage leak in a long-lived session."""
