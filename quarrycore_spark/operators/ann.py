@@ -502,9 +502,13 @@ def ivf_topk(
     )
 
 
-def lsh_band_signatures(emb: DataFrame) -> DataFrame:
-    """(vec_id, band_idx, band_sig, q, na) — hyperplane sign signatures,
-    identical to the SQL banded signature."""
+def lsh_band_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_sig) — SLIM hyperplane sign signatures,
+    identical banding to the SQL oracle. Deliberately carries no vector
+    payload: the bucket-size cap filter runs on these 24-byte rows, and
+    quantized vectors join back only for the rows that survive — at scale
+    this is the difference between shuffling |q|·LSH_BANDS bytes per
+    vector and shuffling |q| once for the (sparse) bucket members."""
     planes = _planes()  # (bands*planes_per_band, DIM)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -512,8 +516,11 @@ def lsh_band_signatures(emb: DataFrame) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(np.int64)
             Q = quantize(np.stack(pdf["embedding"].to_numpy()))
             na = (Q * Q).sum(axis=1)
-            pd_dots = Q @ planes.T  # (n, planes)
-            bits = (pd_dots > 0).astype(np.int64)
+            keep = na > 0
+            ids, Q = ids[keep], Q[keep]
+            if len(ids) == 0:
+                continue
+            bits = (Q @ planes.T > 0).astype(np.int64)
             out = []
             for band in range(LSH_BANDS):
                 sl = bits[:, band * LSH_PLANES_PER_BAND : (band + 1) * LSH_PLANES_PER_BAND]
@@ -524,16 +531,23 @@ def lsh_band_signatures(emb: DataFrame) -> DataFrame:
                             "vec_id": ids,
                             "band_idx": np.full(len(ids), band, dtype=np.int64),
                             "band_sig": sig,
-                            "q": list(Q),
-                            "na": na,
                         }
                     )
                 )
             yield pd.concat(out, ignore_index=True)
 
     return emb.select("vec_id", "embedding").mapInPandas(
-        compute,
-        schema="vec_id bigint, band_idx bigint, band_sig bigint, q array<bigint>, na bigint",
+        compute, schema="vec_id bigint, band_idx bigint, band_sig bigint"
+    )
+
+
+def lsh_band_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_sig, q, na) — band rows with the vector
+    payload attached (diagnostics / bucket-size inspection). The pair
+    operator uses ``lsh_band_rows`` + a post-cap join instead, so the
+    vector never rides the exploded band rows through a shuffle."""
+    return lsh_band_rows(emb).join(
+        quantized_frame(emb).filter(F.col("na") > 0), "vec_id"
     )
 
 
@@ -549,19 +563,23 @@ def ann_lsh_pairs(
     shuffling quantized vectors through a multi-million-row candidate join.
 
     The 2..cap bucket-size filter (same guard as the text LSH,
-    operators/lsh.py band_buckets) runs as a window count over the SAME
-    partitioning the groupBy needs — one exchange — BEFORE any bucket
-    reaches applyInPandas, so a dominant direction (all vectors near one
-    axis) can never materialize an O(bucket²) score matrix in one task:
-    its mega-buckets are dropped deterministically, identically in the
-    Spark plan and the SQL oracle."""
-    sigs = lsh_band_signatures(emb).filter(F.col("na") > 0)
+    operators/lsh.py band_buckets) is computed on SLIM (vec_id, band_idx,
+    band_sig) rows BEFORE any vector payload moves: most band rows are
+    bucket singletons (65,536 signatures per band) and die in the filter,
+    and only the survivors join the quantized vectors back — so the
+    explode never multiplies vector bytes through a shuffle, and a
+    dominant direction (all vectors near one axis) can never materialize
+    an O(bucket²) score matrix in one task: its mega-buckets are dropped
+    deterministically, identically in the Spark plan and the SQL oracle."""
+    qv = quantized_frame(emb).filter(F.col("na") > 0)
     wb = Window.partitionBy("band_idx", "band_sig")
-    sigs = (
-        sigs.withColumn("bsz", F.count(F.lit(1)).over(wb))
+    surv = (
+        lsh_band_rows(emb)
+        .withColumn("bsz", F.count(F.lit(1)).over(wb))
         .filter((F.col("bsz") >= 2) & (F.col("bsz") <= cap))
         .drop("bsz")
     )
+    sigs = surv.join(qv, "vec_id")
     thr = cos_pct * cos_pct
 
     def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
