@@ -48,16 +48,17 @@ BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3300"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 # Corpus size for the scaling legs, as a replication factor over the
 # BENCH_PAGES base corpus. Bigger corpora push the job deeper into the
-# compute-bound regime (extraction + signatures ≈ 93% of the 1-core wall
-# at 640k docs) where scaling is meaningful — a 100 TB corpus is always in
-# that regime — but the legs must FIT the budget: factor 32 (640k docs)
-# needs ≈ 2,600 s of legs, factor 16 (320k) ≈ 1,300 s. Auto-size from the
-# budget unless explicitly overridden.
+# compute-bound regime (extraction + signatures dominate the wall) where
+# scaling is meaningful — a 100 TB corpus is always in that regime — and
+# they shrink the near-empty shuffle stages' fixed-overhead lottery
+# relative to the wall. The legs must FIT the budget: factor 48 (960k
+# docs) needs ≈ 2,600 s of legs with the cache-blocked kernel, factor 16
+# (320k) ≈ 1,100 s. Auto-size from the budget unless overridden.
 _factor_env = os.environ.get("SPARK_GRAFT_SCALE_FACTOR")
 if _factor_env is not None:
     SCALE_FACTOR = int(_factor_env)
 elif BUDGET_S >= 2900:
-    SCALE_FACTOR = 32
+    SCALE_FACTOR = 48
 elif BUDGET_S >= 1500:
     SCALE_FACTOR = 16
 else:

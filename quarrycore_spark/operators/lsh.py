@@ -50,7 +50,9 @@ def band_buckets(
         "doc_id", F.posexplode(bands_col).alias("band_idx", "band_hash")
     ).select(
         "doc_id",
-        (F.col("band_hash") * _MAX_BANDS + F.col("band_idx")).alias("bkey"),
+        # cast BEFORE the fold: band hashes arrive as int32 residues
+        # (signatures.SIG_SCHEMA) and int32·1024 would wrap
+        (F.col("band_hash").cast("long") * _MAX_BANDS + F.col("band_idx")).alias("bkey"),
     )
     w = Window.partitionBy("bkey")
     return (

@@ -33,9 +33,13 @@ from quarrycore_spark.config import DEFAULT_CONFIG, MERSENNE_31, DedupConfig
 
 _WS = re.compile(r"\s+", re.ASCII)
 
+# sig/bands values are residues mod the 31-bit Mersenne prime, so INT32
+# carries them exactly — half the bytes of bigint through the Arrow IPC,
+# the parquet checkpoint, and the band shuffle. Consumers that fold a band
+# hash into a wider key must cast to long first (operators/lsh.py bkey).
 SIG_SCHEMA = (
-    "doc_id bigint, content_hash string, sig array<bigint>, "
-    "bands array<bigint>, simhash bigint"
+    "doc_id bigint, content_hash string, sig array<int>, "
+    "bands array<int>, simhash bigint"
 )
 
 _BAND_MULT = 1000003
@@ -300,8 +304,8 @@ def with_signatures(
             texts = pdf[text_col].astype(str).tolist()
             if family == "poly":
                 ch, sig_m, bands_m, sim = _batch_signatures_poly(texts, cfg, a, b)
-                sig = list(sig_m)
-                bands = list(bands_m)
+                sig = list(sig_m.astype(np.int32))
+                bands = list(bands_m.astype(np.int32))
             else:
                 ch = [None] * n
                 sig = [None] * n
@@ -309,7 +313,9 @@ def with_signatures(
                 sim = np.empty(n, dtype=np.int64)
                 for j, text in enumerate(texts):
                     c, s, bd, sm = doc_signature(text, cfg, a, b, family)
-                    ch[j], sig[j], bands[j], sim[j] = c, s, bd, sm
+                    ch[j], sig[j], bands[j], sim[j] = (
+                        c, s.astype(np.int32), bd.astype(np.int32), sm,
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

@@ -146,7 +146,8 @@ def streaming_lsh_pairs(
     ).select(
         "doc_id",
         "sig",
-        (F.col("band_hash") * _MAX_BANDS + F.col("band_idx")).alias("bkey"),
+        # cast before folding: band hashes are int32 residues (SIG_SCHEMA)
+        (F.col("band_hash").cast("long") * _MAX_BANDS + F.col("band_idx")).alias("bkey"),
     )
 
     def update(key, pdfs, state):
