@@ -20,11 +20,14 @@ but it can never die output-less.
 Draw plan (see BENCH.md "N vs 4N scaling" for the noise model): the
 sandbox's machine-wide serialized page-fault handler inflates stage walls
 one-sidedly (runs are slowed, never sped up), so min-over-draws estimates
-each leg's true cost. The 4N leg's inflation is proportionally ~4× larger
-(same absolute serialized stall on a 4× shorter wall) and therefore needs
-more draws to converge — the plan spends the budget asymmetrically:
-[4N, N, 4N, 4N] guaranteed, then extra 4N/N draws while they fit. Each
-leg also runs an UNTIMED warmup pipeline on the base corpus first
+each leg's true cost. Round-4 lesson: an asymmetric plan that gives the N
+leg a single draw biases efficiency upward (a one-draw min overestimates
+T_N more than a three-draw min overestimates T_4N), so the guaranteed
+plan is symmetric — [4N, N, 4N, N] — guaranteeing ≥ 2 recorded draws per
+side, and the corpus factor is auto-sized so BOTH N legs fit the budget.
+Extra draws alternate 4N/N while they fit. The result JSON reports
+draws_n / draws_4n so the per-leg sample counts are auditable. Each leg
+also runs an UNTIMED warmup pipeline on the base corpus first
 (bench_pipeline.py) so fresh-JVM setup cost leaves the timed window.
 
 Set SPARK_GRAFT_BENCH_FAST=1 to skip the scaling subprocesses (CI smoke).
@@ -51,16 +54,20 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 # compute-bound regime (extraction + signatures dominate the wall) where
 # scaling is meaningful — a 100 TB corpus is always in that regime — and
 # they shrink the near-empty shuffle stages' fixed-overhead lottery
-# relative to the wall. The legs must FIT the budget: factor 48 (960k
-# docs) needs ≈ 2,600 s of legs with the cache-blocked kernel, factor 16
-# (320k) ≈ 1,100 s. Auto-size from the budget unless overridden.
+# relative to the wall. The legs must FIT the budget — including TWO
+# local[1] draws (the round-4 record's weakness was a single N draw):
+# factor 32 (640k docs) costs ≈ 800 s per N leg + ≈ 210 s per 4N leg,
+# so the guaranteed [4N, N, 4N, N] plan is ≈ 2,050 s, leaving margin
+# for the preamble (headline queries + corpus write ≈ 350 s) inside the
+# default 3,300 s budget. Factor 48 only fits ONE N leg — don't use it
+# unless the budget grows. Auto-size from the budget unless overridden.
 _factor_env = os.environ.get("SPARK_GRAFT_SCALE_FACTOR")
 if _factor_env is not None:
     SCALE_FACTOR = int(_factor_env)
 elif BUDGET_S >= 2900:
-    SCALE_FACTOR = 48
+    SCALE_FACTOR = 32
 elif BUDGET_S >= 1500:
-    SCALE_FACTOR = 16
+    SCALE_FACTOR = 12
 else:
     SCALE_FACTOR = 8
 
@@ -150,12 +157,22 @@ def main() -> None:
 
     load(spark, SF_DIR, "documents")["documents"].count()
 
+    # Sub-10 s queries get best-of-2: the sandbox's serialized page-fault
+    # handler inflates walls one-sidedly, and on short queries a single
+    # unlucky draw whipsaws the record ±4× between rounds (VERDICT r4 #2).
+    # min-over-draws is the same estimator the scaling legs use. Cost:
+    # < 60 s over the whole headline set.
     for name in HEADLINE:
         q = registry.REGISTRY[name]
         t0 = time.time()
         df = q.run_spark(spark, SF_DIR)
         n = df.count()  # materialize the full plan
-        RESULT["queries"][name] = round(time.time() - t0, 3)
+        wall = time.time() - t0
+        if wall < 10.0:
+            t1 = time.time()
+            q.run_spark(spark, SF_DIR).count()
+            wall = min(wall, time.time() - t1)
+        RESULT["queries"][name] = round(wall, 3)
         print(f"# {name}: {n} rows in {RESULT['queries'][name]}s", file=sys.stderr)
 
     # --- pipeline throughput on a deterministic pages corpus ----------------
@@ -266,6 +283,8 @@ def main() -> None:
             if n4:
                 s["wall_s_4n"] = n4["wall_s"]
                 s["docs_per_sec_4n"] = n4["docs_per_sec"]
+            s["draws_n"] = sum(1 for d in draws if d["cores"] == SCALE_N)
+            s["draws_4n"] = sum(1 for d in draws if d["cores"] == SCALE_N * 4)
             if n and n4:
                 s["efficiency"] = round((n["wall_s"] / n4["wall_s"]) / 4, 3)
                 s["stage_efficiency"] = {
@@ -275,16 +294,18 @@ def main() -> None:
                 }
             RESULT["scaling"] = s
 
-        # Guaranteed plan: one 4N draw to calibrate estimates, the single
-        # expensive N draw, then two more 4N draws to converge min(T_4N).
-        plan = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N * 4]
-        # Extras while budget allows: another 4N draw, then another N draw
-        # (keeps the numerator honest too — min(T_N) may only drop), then
-        # more 4N draws to converge the denominator.
+        # Guaranteed plan — SYMMETRIC (VERDICT r4 #1, ADVICE r4): one 4N
+        # draw to calibrate estimates, then alternate so BOTH legs get
+        # ≥ 2 recorded draws; a min over one draw systematically
+        # overestimates that leg under the one-sided noise model, and an
+        # asymmetric plan biases the efficiency ratio.
+        plan = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N]
+        # Extras while budget allows, still alternating so neither min
+        # converges ahead of the other.
         extras = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N * 4]
         for rep, cores in enumerate(plan + extras):
             if not run_leg(cores, rep) and cores == SCALE_N and SCALE_N not in runs:
-                # the one N draw didn't fit/complete — no efficiency possible,
+                # no N draw completed yet — no efficiency possible,
                 # stop burning budget on more 4N draws
                 break
 

@@ -130,7 +130,10 @@ def exact_media_dedup(features: DataFrame) -> DataFrame:
 
 
 def phash_near_dup_pairs(
-    features: DataFrame, hamming_max: int = 7, bucket_cap: int = 1000
+    features: DataFrame,
+    hamming_max: int = 7,
+    bucket_cap: int = 1000,
+    class_cap: int = 1000,
 ) -> DataFrame:
     """Perceptual near-dup image pairs: pigeonhole banding over the 64-bit
     dHash (8 bands of 8 bits ⇒ hamming<=7 implies one band equal) then
@@ -142,12 +145,23 @@ def phash_near_dup_pairs(
     so bucket population is bounded by image DIVERSITY (distinct hashes
     sharing an 8-bit band value), not corpus size. Verified hash pairs
     expand back to media-id pairs through two class joins, and the
-    hamming-0 within-class pairs come from a per-class self-join. Output
-    is therefore identical to the uncapped all-pairs definition at ANY
-    document count, as long as no distinct-hash bucket exceeds bucket_cap
-    (2⁵⁶ per-band diversity would be needed to approach it here; buckets
-    that do exceed it are dominant-pattern noise, dropped with the same
-    deterministic 2..cap rule as every other LSH operator in this repo)."""
+    hamming-0 within-class pairs come from a per-class self-join.
+
+    Two deterministic caps bound the output (the same 2..cap discipline as
+    every other LSH operator in this repo):
+
+    * ``bucket_cap`` — distinct-hash band buckets above it are dropped
+      (dominant-pattern noise; 2⁵⁶ per-band diversity would be needed to
+      approach it organically).
+    * ``class_cap`` — identical-phash classes above it do not participate
+      in pair expansion AT ALL (neither the within-class clique nor the
+      cross-class joins). Without this, one viral identical image with
+      m = 10⁶ copies would emit an O(m²) = 5·10¹¹-row clique — the class
+      is boilerplate by definition, and downstream dedup handles it via
+      the exact-hash star form instead. Trade-off: pairs touching an
+      over-cap class are NOT reported here; below both caps the output is
+      identical to the uncapped all-pairs definition at any document
+      count."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -155,9 +169,16 @@ def phash_near_dup_pairs(
 
     # slim (media_id, phash) projection, persisted: four consumers below
     # (band explode, both class-join sides, within-class self-join) would
-    # otherwise each re-run the upstream decode pass
+    # otherwise each re-run the upstream decode pass. The class_cap filter
+    # lands here so over-cap identical-phash classes vanish from every
+    # downstream path (band explode included) in one place.
+    wc = Window.partitionBy("phash")
     classes = track(
-        features.filter(F.col("phash").isNotNull()).select("media_id", "phash")
+        features.filter(F.col("phash").isNotNull())
+        .select("media_id", "phash")
+        .withColumn("csz", F.count(F.lit(1)).over(wc))
+        .filter(F.col("csz") <= class_cap)
+        .drop("csz")
     )
     n_bands, width = 8, 8
     mask = (1 << width) - 1

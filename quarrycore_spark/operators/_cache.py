@@ -43,27 +43,40 @@ def track(df: DataFrame) -> DataFrame:
 
 
 def release_tracked(spark: SparkSession | None = None) -> int:
-    """Unpersist every frame tracked for the given session (the active
-    session's application when omitted). Returns the number released."""
+    """Unpersist every frame tracked for the given session's application
+    (the active session's when omitted). Returns the number released.
+
+    When no session is given AND none is active in this thread, nothing
+    is unpersisted — the call degrades to housekeeping (dropping
+    bookkeeping for stopped applications) because without an application
+    identity any unpersist could cold-cache a concurrently running
+    pipeline, which the module contract forbids."""
     if spark is None:
         spark = SparkSession.getActiveSession()
     if spark is None:
-        # No session active in THIS thread — but other applications may
-        # still be running and their frames must stay releasable, not be
-        # silently dropped from the bookkeeping. Unpersist (and drop)
-        # entries of live applications; entries of stopped applications
-        # hold nothing persisted anymore and are just dropped.
-        released = 0
+        # No session active in THIS thread — the caller cannot name an
+        # application, so honoring the module contract ("release from one
+        # application cannot unpersist frames another running application
+        # still needs") means this branch must NOT touch live
+        # applications' frames. It is housekeeping only: drop bookkeeping
+        # entries whose application has stopped (their persisted blocks
+        # are already gone with the context); live applications keep
+        # their frames tracked AND persisted. Returns 0 — nothing is
+        # actually unpersisted here.
         for key in list(_TRACKED):
-            for df in _TRACKED.pop(key):
+            keep: list[DataFrame] = []
+            for df in _TRACKED[key]:
                 try:
                     sc = df.sparkSession.sparkContext
                     if sc._jsc is not None and not sc._jsc.sc().isStopped():
-                        df.unpersist()
-                        released += 1
+                        keep.append(df)
                 except Exception:
-                    pass  # application stopped mid-check
-        return released
+                    pass  # application stopped mid-check: drop the entry
+            if keep:
+                _TRACKED[key] = keep
+            else:
+                _TRACKED.pop(key)
+        return 0
     try:
         key = _app_id(spark)
     except Exception:  # session stopped mid-call

@@ -543,9 +543,13 @@ def lsh_band_rows(emb: DataFrame) -> DataFrame:
 
 def lsh_band_signatures(emb: DataFrame) -> DataFrame:
     """(vec_id, band_idx, band_sig, q, na) — band rows with the vector
-    payload attached (diagnostics / bucket-size inspection). The pair
-    operator uses ``lsh_band_rows`` + a post-cap join instead, so the
-    vector never rides the exploded band rows through a shuffle."""
+    payload attached. DIAGNOSTICS ONLY (bucket-size inspection, tests):
+    this re-attaches the quantized vector to every exploded band row —
+    the exact shape the production path removed — so at scale it
+    multiplies vector bytes by LSH_BANDS through the join's shuffle.
+    It must NOT feed pair generation: ``ann_lsh_pairs`` uses
+    ``lsh_band_rows`` + the 2..cap filter on slim 24-byte rows, and only
+    joins vectors back to the surviving buckets."""
     return lsh_band_rows(emb).join(
         quantized_frame(emb).filter(F.col("na") > 0), "vec_id"
     )

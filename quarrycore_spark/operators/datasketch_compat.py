@@ -116,9 +116,15 @@ DS_SIG_SCHEMA = "doc_id bigint, ds_sig array<bigint>"
 DS_BANDED_SCHEMA = (
     "doc_id bigint, content_hash string, sig array<bigint>, bands array<bigint>"
 )
-# the full pipeline stage shape (matches signatures.SIG_SCHEMA): the
-# simhash stage is independent of the minhash scheme, so the ds family
-# carries the poly-family simhash alongside its own sig/bands
+# The full pipeline stage shape. It matches signatures.SIG_SCHEMA's column
+# CONTRACT (same names/order; the simhash stage is independent of the
+# minhash scheme, so the ds family carries the poly-family simhash
+# alongside its own sig/bands) but NOT its element types: ds signature
+# values reach 2^32 and genuinely need array<bigint>, while the poly
+# family packs into array<int>. A checkpoint written by one family is
+# therefore NOT schema-identical under the other — resumed checkpoints
+# are family-specific (the resume manifest's input-identity guard keys on
+# the input, and a family switch must re-run from scratch).
 DS_PIPELINE_SCHEMA = DS_BANDED_SCHEMA + ", simhash bigint"
 
 _BAND_MULT = 1000003

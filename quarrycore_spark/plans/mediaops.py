@@ -9,7 +9,8 @@ the REAL kernel (multimodal/codecs.decode_bmp → dhash64 — the path the
 reference's pipeline would run on crawled images), and pairs near-dup
 hashes with the pigeonhole band join. The DUCKDB oracle computes the same
 64-bit dHash arithmetically from the pixel formula (no decode) and joins
-all pairs at hamming <= HAMMING_MAX — pigeonhole guarantees the band join
+all pairs at hamming <= HAMMING_MAX with both endpoints in identical-hash
+classes of size <= CLASS_CAP — pigeonhole guarantees the band join
 finds every such pair, and the Spark side bands over DISTINCT hash values
 (at most 97×8 = 776 here, whatever the doc count) before expanding back
 through identical-hash classes, so the two definitions are exactly
@@ -41,6 +42,12 @@ from quarrycore_spark.plans.registry import Query, register
 
 W, H = 9, 8
 HAMMING_MAX = 7
+# Identical-phash classes above this size are excluded from pair expansion
+# entirely (stubs.phash_near_dup_pairs class_cap) — encoded in BOTH dialects
+# below so the oracle equivalence is by construction, not by the test data
+# happening to stay small (class size here ≈ docs/776, so the cap never
+# fires at test scale, but the rule is part of the checked definition).
+CLASS_CAP = 1000
 
 
 def pixel_grid(doc_id: int) -> np.ndarray:
@@ -110,9 +117,9 @@ def _spark_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     feats = extract_media_features(_media_frame(spark, sf_dir), use_fake=False)
-    return phash_near_dup_pairs(feats, hamming_max=HAMMING_MAX).select(
-        "a_id", "b_id", "hamming"
-    )
+    return phash_near_dup_pairs(
+        feats, hamming_max=HAMMING_MAX, class_cap=CLASS_CAP
+    ).select("a_id", "b_id", "hamming")
 
 
 def _pix_sql(x_expr: str, y_expr: str, div: str) -> str:
@@ -150,10 +157,11 @@ def _media_phash_pairs(dialect: str) -> str:
         )
         ham = "bit_count(xor(a.phash, b.phash))::BIGINT"
     return f"""
-WITH _m AS (SELECT doc_id, {bits} AS phash FROM documents)
+WITH _m AS (SELECT doc_id, {bits} AS phash FROM documents),
+_c AS (SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS csz FROM _m)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, {ham} AS hamming
-FROM _m a JOIN _m b ON a.doc_id < b.doc_id
-WHERE {ham} <= {HAMMING_MAX}
+FROM _c a JOIN _c b ON a.doc_id < b.doc_id
+WHERE {ham} <= {HAMMING_MAX} AND a.csz <= {CLASS_CAP} AND b.csz <= {CLASS_CAP}
 """
 
 

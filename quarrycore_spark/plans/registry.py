@@ -90,6 +90,44 @@ FROM _docs a JOIN _docs b
 register(Query("exact_dup_pairs", "D2: exact duplicate pair list", _exact_dup_pairs))
 
 
+def _exact_dup_pairs_synth(dialect: str) -> str:
+    """Non-vacuous D2 surface. The shipped sf* `documents` tables contain no
+    byte-identical texts, so `exact_dup_pairs` is vacuously green at the
+    driver's sf0.01 (0 = 0 rows). This variant deterministically injects
+    duplicate content — docs with doc_id % 10 < 2 collapse onto shared
+    boilerplate texts keyed by doc_id % 5 (only classes 0 and 1 occur,
+    since the selector fixes doc_id % 10) — then runs the IDENTICAL D1→D2
+    path (normalize → content-hash → pair join) in both dialects, so the
+    driver hashes real duplicate pairs (sf0.01, dense ids 0..499:
+    2 classes × C(50,2) = 2,450 rows).
+    Same synthesis device as structops.doc_link_stats / mediaops.
+    ORACLE-ONLY clique semantics, as documented on `_exact_dup_pairs`."""
+    return f"""
+WITH _seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 2
+              THEN concat('Shared boilerplate block ',
+                          CAST(doc_id % 5 AS STRING),
+                          '. All rights reserved.')
+              ELSE text END AS text
+  FROM documents
+),
+{P.doc_norm(dialect, CFG, table="_seeded")}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id
+FROM _docs a JOIN _docs b
+  ON a.content_hash = b.content_hash AND a.doc_id < b.doc_id
+"""
+
+
+register(
+    Query(
+        "exact_dup_pairs_synth",
+        "D2: exact duplicate pairs, non-vacuous via deterministic dup injection",
+        _exact_dup_pairs_synth,
+    )
+)
+
+
 def _dedup_survivors(dialect: str) -> str:
     """Surviving (non-duplicate) docs: row_number()==1 per hash, ordered by
     doc_id — SURVEY §2.6's single window function."""

@@ -85,6 +85,13 @@ def test_exact_dup_pairs_nonvacuous_at_sf01(spark):
     assert n > 0
 
 
+def test_exact_dup_pairs_synth_nonvacuous_at_sf001(spark):
+    """The dup-injected variant must fire on the DRIVER's scale too:
+    at sf0.01 (500 docs) the injection yields 5 classes x C(20,2) pairs."""
+    n = compare_query(spark, "exact_dup_pairs_synth")
+    assert n > 0
+
+
 def test_release_discipline_storage_stable(spark):
     """Three consecutive full dedup-registry runs with release between them
     leave zero persisted RDDs — no storage leak in a long-lived session."""

@@ -192,11 +192,16 @@ def test_real_decode_features_and_phash_pairs(spark):
 
 def test_phash_pairs_match_allpairs_at_scale(spark):
     """The banded join must equal the uncapped all-pairs definition at ANY
-    doc count. 20,000 docs is the size where row-level banding used to blow
-    its bucket cap and silently drop most pair-classes; the distinct-hash
-    join + class expansion now reproduces the arithmetic all-pairs count
-    and hamming checksum exactly (bucket load is bounded by the 776
-    distinct hashes, not the 20k rows)."""
+    doc count when no cap fires. 20,000 docs is the size where row-level
+    banding used to blow its bucket cap and silently drop most
+    pair-classes; the distinct-hash join + class expansion reproduces the
+    arithmetic all-pairs count and hamming checksum exactly (bucket load
+    is bounded by the 211 distinct hashes, not the 20k rows). At this size
+    the largest identical-hash class is 1,534 rows — above the default
+    class_cap — so the uncapped identity is asserted with an explicit
+    large class_cap, and a second assertion pins the class_cap rule
+    itself: with a finite cap, exactly the pairs whose BOTH endpoints sit
+    in classes <= cap survive."""
     from collections import Counter
 
     import numpy as np
@@ -238,12 +243,29 @@ def test_phash_pairs_match_allpairs_at_scale(spark):
         "media_id long, phash long",
     )
     got = (
-        phash_near_dup_pairs(feats, hamming_max=HAMMING_MAX)
+        phash_near_dup_pairs(feats, hamming_max=HAMMING_MAX, class_cap=10**9)
         .agg(F.count(F.lit(1)).alias("n"), F.sum("hamming").alias("hsum"))
         .collect()[0]
     )
     assert got["n"] == exp_pairs
     assert got["hsum"] == exp_hsum
+
+    # class_cap rule: only pairs with BOTH endpoints in classes <= cap
+    cap = 500
+    capped_exp = sum(
+        m * (m - 1) // 2 for m in by_hash.values() if m <= cap
+    )
+    for ai in range(len(vals)):
+        for bi in range(ai + 1, len(vals)):
+            if bin(vals[ai] ^ vals[bi]).count("1") <= HAMMING_MAX:
+                ma, mb = by_hash[vals[ai]], by_hash[vals[bi]]
+                if ma <= cap and mb <= cap:
+                    capped_exp += ma * mb
+    got_capped = phash_near_dup_pairs(
+        feats, hamming_max=HAMMING_MAX, class_cap=cap
+    ).count()
+    assert got_capped == capped_exp
+    assert got_capped < exp_pairs  # the cap genuinely fired at this size
 
 
 def test_streaming_lsh_state_ttl_evicts_idle_buckets(spark, tmp_path):
