@@ -96,6 +96,54 @@ def extract_body_text(raw: bytes | str) -> str:
     return _WS.sub(" ", s).strip()
 
 
+# Chrome-CLASS tokens inside a declared content region: the regex
+# expression of the reference soup extractor's remove_classes list
+# (soup_extractor.py:49 — nav/navigation/menu/sidebar/ad/advertisement/
+# footer/header) widened with the page furniture real articles embed in
+# their content region: share toolbars, related rails, comment threads,
+# newsletter prompts, cookie overlays, pagination chrome, breadcrumbs,
+# promos. Tokens must match a whole dash/underscore-delimited word so
+# content-bearing classes ("post-content", "story") never match.
+_CHROME_CLASS_START = re.compile(
+    r"<(div|section|ul|ol|form)\b[^>]*\b(?:id|class)\s*=\s*[\"'][^\"']*"
+    r"\b(?:ad|ads|advert\w*|nav|navigation|menu|sidebar|side[-_]?bar|share|"
+    r"sharing|social|related|comments?|newsletter|cookie\w*|breadcrumbs?|"
+    r"pagination|pager|paging|promo\w*|banner|subscribe|toolbar|widget|"
+    r"popup|modal|footer|header|masthead|trending|recommend\w*)"
+    r"(?:[-_]\w+)?\b[^\"']*[\"'][^>]*>",
+    re.I,
+)
+
+
+def _remove_balanced_blocks(s: str, start_pat: re.Pattern) -> str:
+    """`s` with every block opened by `start_pat` removed through its
+    balanced close tag. `start_pat`'s group 1 must capture the element
+    name, so the depth walk pairs only that element's own open/close tags
+    (same walk as `_find_balanced_blocks`; unclosed blocks are removed to
+    end-of-string)."""
+    out = []
+    i = 0
+    while True:
+        m = start_pat.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i : m.start()])
+        tagre = re.compile(rf"<(/?){m.group(1)}\b[^>]*>", re.I)
+        depth = 1
+        j = m.end()
+        end = len(s)
+        while depth:
+            m2 = tagre.search(s, j)
+            if not m2:
+                break
+            depth += -1 if m2.group(1) else 1
+            j = m2.end()
+            if depth == 0:
+                end = j
+        i = end
+
+
 def _find_balanced_blocks(s: str, start_pat: re.Pattern, tagname: str) -> list[str]:
     """Inner HTML of every block opened by `start_pat`, closed by walking
     open/close tags of `tagname` with a depth counter (regex alone cannot
@@ -149,7 +197,10 @@ _SELECTOR_TIERS: tuple[tuple[re.Pattern, str], ...] = (
 def extract_selector_text(raw: bytes | str) -> str:
     """Selector tier (highest precision): text of the page's declared
     main-content region only — `<main>`, `<article>`, `[role=main]`, or a
-    content-ish id/class — with chrome subtrees inside it still removed.
+    content-ish id/class — with chrome subtrees inside it still removed,
+    both tag-based (nav/header/footer/aside/noscript) and CLASS-based
+    (`_CHROME_CLASS_START`: the reference soup extractor's remove_classes
+    list widened to share/related/comments/newsletter/cookie/pagination/…).
     Returns "" when the page declares no content region, which makes the
     cascade fall through to the strict tier (a from-scratch regex analogue
     of the reference's trafilatura-tier precision, cascade_extractor.py:479-499)."""
@@ -165,6 +216,7 @@ def extract_selector_text(raw: bytes | str) -> str:
             while prev != joined:  # nested chrome inside the content region
                 prev = joined
                 joined = _CHROME.sub(" ", joined)
+                joined = _remove_balanced_blocks(joined, _CHROME_CLASS_START)
             joined = _TAG.sub(" ", joined)
             joined = _html.unescape(joined)
             return _WS.sub(" ", joined).strip()

@@ -165,10 +165,9 @@ _LANG_WORDLISTS = {
     "vi": ["và", "của", "là", "có", "không", "được", "trong", "một", "cho", "này"],
     "el": ["και", "το", "να", "της", "την", "είναι", "με", "που", "για", "από"],
     # second tier by web-corpus frequency — space-delimited scripts only
-    # (zh/ja/th lack word boundaries; a stopword vote over split(' ') can't
-    # see them, so they deliberately stay out and fall to 'und' rather than
-    # being guessed wrong — the reference's fastText model is the lever
-    # this heuristic honestly cannot replace, SURVEY §8)
+    # (zh/ja/th lack word boundaries so a stopword vote over split(' ')
+    # can't see them; they are covered by the CHARACTER-GRAM tier below,
+    # _LANG_CHARGRAMS)
     "uk": ["і", "в", "не", "на", "що", "з", "до", "як", "це", "за"],
     "bg": ["и", "на", "в", "не", "се", "за", "да", "е", "от", "с"],
     "sk": ["a", "je", "sa", "na", "to", "v", "že", "som", "ako", "ale"],
@@ -191,6 +190,23 @@ _LANG_WORDLISTS = {
     "sw": ["na", "ya", "wa", "kwa", "ni", "za", "katika", "la", "kuwa", "hii"],
 }
 
+# Unsegmented-script tier (reference: fastText lid.176 covers zh/ja/th,
+# language_detector.py:167+): these scripts have no word boundaries, so the
+# vote counts CHARACTER-GRAM containment in the normalized text instead of
+# word-list membership — same contract (10 entries per language, votes =
+# number of distinct entries present, same MIN_LANG_VOTES floor and margin).
+# Entries are chosen script-exclusive so the two tiers can't cross-fire:
+# ja is pure kana (hiragana particles ubiquitous in running Japanese and
+# absent from Chinese — a mostly-kanji Japanese headline below the kana
+# floor falls to zh/und rather than being guessed, the honest failure);
+# zh includes simplified-only forms (这/们/为) Japanese never uses;
+# th is Thai-script function words.
+_LANG_CHARGRAMS = {
+    "zh": ["的", "是", "了", "在", "我", "不", "这", "们", "为", "和"],
+    "ja": ["の", "に", "は", "を", "が", "た", "て", "で", "と", "し"],
+    "th": ["ที่", "ใน", "ของ", "และ", "เป็น", "ได้", "การ", "ไม่", "ให้", "มี"],
+}
+
 # Confidence floor: fewer than this many distinct stopword hits for the best
 # language ⇒ 'und' — the vote-count analogue of the reference detector's
 # min-confidence threshold (language_detector.py: results below the floor
@@ -199,26 +215,39 @@ MIN_LANG_VOTES = 2
 
 
 def _lang_id(dialect: str) -> str:
-    """P8: stopword-vote language ID over 40 languages (n-gram-heuristic
+    """P8: two-tier language ID over 43 languages (n-gram-heuristic
     analogue of the reference's fastText lid.176 detector,
     language_detector.py — same contract: top-1 vote with a deterministic
     tie-break in declaration order, 'und' below the confidence floor).
+    Space-delimited scripts vote by stopword membership over split words;
+    unsegmented scripts (zh/ja/th) vote by character-gram containment —
+    both feed one unified vote vector, floor, and margin.
     vote_margin (top votes − runner-up votes) mirrors the reference
     detector's per-doc confidence output as an exact integer."""
     if dialect == SPARK:
         words = "array_distinct(split(nt, ' '))"
 
         def hits(lang):
+            if lang in _LANG_CHARGRAMS:
+                return "(" + " + ".join(
+                    f"CASE WHEN contains(nt, '{g}') THEN 1 ELSE 0 END"
+                    for g in _LANG_CHARGRAMS[lang]
+                ) + ")"
             lst = ", ".join(f"'{w}'" for w in _LANG_WORDLISTS[lang])
             return f"size(array_intersect(ws, array({lst})))"
     else:
         words = "list_distinct(string_split(nt, ' '))"
 
         def hits(lang):
+            if lang in _LANG_CHARGRAMS:
+                return "(" + " + ".join(
+                    f"CASE WHEN contains(nt, '{g}') THEN 1 ELSE 0 END"
+                    for g in _LANG_CHARGRAMS[lang]
+                ) + ")"
             lst = ", ".join(f"'{w}'" for w in _LANG_WORDLISTS[lang])
             return f"len(list_intersect(ws, [{lst}]))"
 
-    langs = list(_LANG_WORDLISTS)
+    langs = list(_LANG_WORDLISTS) + list(_LANG_CHARGRAMS)
     vote_cols = ", ".join(f"{hits(lg)} AS v_{lg}" for lg in langs)
     clauses = []
     for lg in langs:
@@ -240,7 +269,7 @@ def _lang_id(dialect: str) -> str:
         )
     return f"""
 WITH {P.doc_norm(dialect, CFG)},
-_w AS (SELECT doc_id, {words} AS ws FROM _docs),
+_w AS (SELECT doc_id, nt, {words} AS ws FROM _docs),
 _v AS (SELECT doc_id, {vote_cols} FROM _w)
 SELECT doc_id, CASE {best} ELSE 'und' END AS lang_guess,
        {margin} AS vote_margin,

@@ -208,21 +208,156 @@ def test_unclosed_article_extends_to_end():
     assert extract_selector_text(page) == "Start of text. And the rest"
 
 
+# --- furniture INSIDE the content region ------------------------------------
+# The pages above keep their chrome outside the declared region; real
+# articles embed it (share buttons mid-article, in-article ads, newsletter
+# interstitials, comment threads inside <article>, pagination chrome at the
+# article foot). Tag-based chrome removal can't see these — they're plain
+# <div class="...">s — so they pin the CLASS-based removal
+# (_CHROME_CLASS_START, modeled on the reference soup extractor's
+# remove_classes list, soup_extractor.py:49).
+
+_LONGFORM_PAGE = b"""<html><body>
+<article>
+  <h1>Glaciers in retreat</h1>
+  <div class="share-buttons"><span>Tweet</span><span>Pin</span></div>
+  <p>Alpine glaciers lost a fifth of their volume in a decade.</p>
+  <div class="ad-slot in-article"><a href="/sponsor">SPONSORED: hiking boots</a></div>
+  <p>Meltwater now feeds rivers earlier each spring.</p>
+  <div class="newsletter-inline">Get climate stories weekly<form class="signup">
+    <input><button>Join</button></form></div>
+  <p>Researchers expect the trend to accelerate.</p>
+  <section class="comments-thread"><h3>Comments (12)</h3>
+    <div class="comment">So sad.</div><div class="comment">Visited in 1998.</div>
+  </section>
+  <ul class="pagination"><li>Page 1 of 3</li><li><a href="/p2">Next</a></li></ul>
+</article>
+</body></html>"""
+
+
+def test_longform_in_article_furniture_removed():
+    got = extract_selector_text(_LONGFORM_PAGE)
+    assert got == (
+        "Glaciers in retreat Alpine glaciers lost a fifth of their volume "
+        "in a decade. Meltwater now feeds rivers earlier each spring. "
+        "Researchers expect the trend to accelerate."
+    )
+    # tag-based-only strict extraction keeps every embedded widget
+    strict = extract_main_text(_LONGFORM_PAGE)
+    for noise in ("Tweet", "SPONSORED", "weekly", "Comments", "Page 1 of 3"):
+        assert noise in strict and noise not in got
+
+
+_PRODUCT_PAGE = b"""<body>
+<div class="header-bar">MegaShop</div>
+<main>
+  <div class="breadcrumb"><a href="/">Home</a> / <a href="/k">Kitchen</a></div>
+  <h1>Cast iron skillet, 30 cm</h1>
+  <p>Pre-seasoned cast iron distributes heat evenly and lasts decades.</p>
+  <div class="promo-box">SAVE 20% with code RUST</div>
+  <p>Hand wash and dry immediately; oil lightly after each use.</p>
+  <section class="related-products"><h3>Customers also bought</h3>
+    <a href="/p7">Pan scraper</a><a href="/p8">Lid, 30 cm</a></section>
+  <div class="reviews-pager">1 2 3 ... 17 Next page</div>
+</main>
+</body>"""
+
+
+def test_product_page_promo_and_pager_removed():
+    got = extract_selector_text(_PRODUCT_PAGE)
+    assert got == (
+        "Cast iron skillet, 30 cm Pre-seasoned cast iron distributes heat "
+        "evenly and lasts decades. Hand wash and dry immediately; oil "
+        "lightly after each use."
+    )
+    assert "SAVE 20%" not in got and "also bought" not in got
+    assert "Next page" not in got and "Home" not in got
+
+
+_FORUM_PAGE = b"""<body>
+<div id="content">
+  <div class="breadcrumbs">Forum / Hardware / Keyboards</div>
+  <h1>Switch lubing for beginners</h1>
+  <p>Thin PTFE grease on the rails is enough; avoid the spring legs.</p>
+  <div class="signature">-- my build log: keeb.example</div>
+  <p>A brush size 0 covers one switch in about forty seconds.</p>
+  <div class="social-share">Share: Reddit Discord</div>
+  <ol class="pager"><li>1</li><li>2</li><li>3</li></ol>
+</div>
+<div class="sidebar-right">Hot threads: GMK clones ranked</div>
+</body>"""
+
+
+def test_forum_page_signature_kept_chrome_removed():
+    got = extract_selector_text(_FORUM_PAGE)
+    # the signature div carries no chrome class token — a precision/recall
+    # judgment call the reference's list-based removal shares: it stays
+    assert got == (
+        "Switch lubing for beginners Thin PTFE grease on the rails is "
+        "enough; avoid the spring legs. -- my build log: keeb.example "
+        "A brush size 0 covers one switch in about forty seconds."
+    )
+    assert "Reddit" not in got and "Hot threads" not in got
+    assert "Keyboards" not in got  # breadcrumbs
+
+
+_RECIPE_PAGE = b"""<body>
+<div class="cookie-wall">Accept cookies to continue</div>
+<div class="entry-content">
+  <h2>Weeknight dal</h2>
+  <p>Rinse the lentils until the water runs clear.</p>
+  <div class="recommended-carousel">You may also like: butter chicken</div>
+  <p>Simmer with turmeric for twenty minutes, then temper the spices.</p>
+  <ul class="share-list"><li>Facebook</li><li>WhatsApp</li></ul>
+</div>
+<footer>about / contact</footer>
+</body>"""
+
+
+def test_recipe_page_carousel_and_share_removed():
+    got = extract_selector_text(_RECIPE_PAGE)
+    assert got == (
+        "Weeknight dal Rinse the lentils until the water runs clear. "
+        "Simmer with turmeric for twenty minutes, then temper the spices."
+    )
+    assert "butter chicken" not in got and "WhatsApp" not in got
+    text, tier, _q, accepted = cascade_extract(_RECIPE_PAGE, lang="en")
+    assert accepted and tier == "selector" and text == got
+
+
+def _fixture_corpus():
+    return [
+        (_BOILERPLATE_PAGE, "The Widget 3000 reviewed"),
+        (_NEWS_PAGE, "Acme posts record"),
+        (_BLOG_PAGE, "Hydration, temperature"),
+        (_DOCS_PAGE, "Configuration reference"),
+        (_LONGFORM_PAGE, "Glaciers in retreat"),
+        (_PRODUCT_PAGE, "Cast iron skillet"),
+        (_FORUM_PAGE, "Switch lubing"),
+        (_RECIPE_PAGE, "Weeknight dal"),
+    ]
+
+
 def test_selector_precision_metric_on_fixture_corpus():
-    """Aggregate precision pin: across the realistic fixtures, the selector
-    tier never emits a boilerplate marker and always keeps the article
-    opening — the measurable sense in which it beats the strict tier."""
-    fixtures = [_BOILERPLATE_PAGE, _NEWS_PAGE, _BLOG_PAGE, _DOCS_PAGE]
-    markers = ("cookie", "Subscribe", "Share on", "Trending", "BUY NOW",
-               "Related", "comments", "Blogroll", "copyright")
-    openings = ("The Widget 3000 reviewed", "Acme posts record",
-                "Hydration, temperature", "Configuration reference")
+    """Aggregate precision pin with an asserted floor: across all realistic
+    fixtures the selector tier emits ZERO boilerplate markers (precision
+    1.0 on the marker set) and always keeps the article opening (no recall
+    loss), while the strict tier demonstrably keeps the furniture — the
+    measurable gap the cascade exists to close."""
+    markers = ("cookie", "Subscribe", "Share", "Trending", "BUY NOW",
+               "Related", "comments", "Blogroll", "copyright", "SPONSORED",
+               "Page 1 of 3", "SAVE 20%", "also bought", "Reddit",
+               "Hot threads", "butter chicken", "WhatsApp", "Next page")
+    fixtures = _fixture_corpus()
+    assert len(fixtures) >= 8  # corpus >= 2x the round-4 fixture set
     sel_noise = strict_noise = 0
-    for page, opening in zip(fixtures, openings):
+    for page, opening in fixtures:
         sel = extract_selector_text(page)
         strict = extract_main_text(page)
         assert sel.startswith(opening) and opening in strict
         sel_noise += sum(m in sel for m in markers)
         strict_noise += sum(m in strict for m in markers)
+    # precision floor: the selector tier's marker hit-rate must be exactly
+    # zero — any regression that lets one widget through fails loudly
     assert sel_noise == 0
-    assert strict_noise >= 8  # strict demonstrably keeps the furniture
+    assert strict_noise >= 15  # strict demonstrably keeps the furniture

@@ -69,6 +69,14 @@ def test_lang_id_confidence_floor_and_margin(spark, tmp_path):
         # MIN_LANG_VOTES distinct hits
         (3, "the der el le il og ja bir yang trong"),
         (4, ""),
+        # unsegmented-script tier: no spaces at all — the word vote is
+        # blind here, the char-gram vote must fire
+        (5, "これはテストです。データの表は順番に並んでいて、キーが結合を行った。"),
+        (6, "这是一个测试。我们的数据表是按顺序排列的，他们不在这里。"),
+        (7, "นี่คือการทดสอบ ตารางข้อมูลของเราเรียงตามลำดับ และไม่ได้อยู่ที่นี่"),
+        # kana-free kanji-only fragment: below the ja kana floor by design,
+        # must NOT be guessed as ja (falls to zh or und, the honest failure)
+        (8, "完全無欠"),
     ]
     sf = str(tmp_path)
     spark.createDataFrame(rows, "doc_id long, text string").write.mode(
@@ -82,6 +90,10 @@ def test_lang_id_confidence_floor_and_margin(spark, tmp_path):
     assert out[2][0] == "de" and out[2][1] > 0
     assert out[3][0] == "und"
     assert out[4][0] == "und"
+    assert out[5][0] == "ja" and out[5][1] > 0
+    assert out[6][0] == "zh" and out[6][1] > 0
+    assert out[7][0] == "th" and out[7][1] > 0
+    assert out[8][0] != "ja"
 
     # dual-dialect: DuckDB oracle agrees on the same fixture
     con = duckdb.connect()
