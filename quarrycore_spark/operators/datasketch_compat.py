@@ -55,18 +55,35 @@ def permutations(num_perm: int, seed: int = DS_SEED) -> tuple[np.ndarray, np.nda
     return a, b
 
 
+def signature_from_hashes(
+    hashes, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """datasketch-scheme signature over already-hashed tokens (uint32
+    values): slot i = min over tokens of ((a_i*h + b_i) mod 2^64) mod
+    (2^61-1), masked to 32 bits. The mod-2^64 wrap is not a bug to paper
+    over — datasketch computes in numpy uint64, where a*h (a < 2^61,
+    h < 2^32) overflows, and bit-compatibility means reproducing exactly
+    that arithmetic. Empty token sets keep the init value (max hash + 1).
+    """
+    num_perm = len(a)
+    hv = np.full(num_perm, _HASH_RANGE, dtype=np.uint64)  # datasketch init
+    for h in hashes:
+        phv = np.bitwise_and(
+            (a * np.uint64(h) + b) % np.uint64(DS_MERSENNE_61),
+            np.uint64(DS_MAX_HASH),
+        )
+        hv = np.minimum(hv, phv)
+    return hv.astype(np.int64)
+
+
 def minhash_signature(
     shingles: list[str], a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
     """128-slot (or num_perm-slot) datasketch-scheme signature (uint32 range,
     stored int64). Empty shingle sets keep the init value (max hash + 1)."""
-    num_perm = len(a)
-    hv = np.full(num_perm, _HASH_RANGE, dtype=np.uint64)  # datasketch init
-    for s in shingles:
-        h = np.uint64(sha1_hash32(s.encode("utf-8")))
-        phv = np.bitwise_and((a * h + b) % np.uint64(DS_MERSENNE_61), np.uint64(DS_MAX_HASH))
-        hv = np.minimum(hv, phv)
-    return hv.astype(np.int64)
+    return signature_from_hashes(
+        (sha1_hash32(s.encode("utf-8")) for s in shingles), a, b
+    )
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

@@ -128,6 +128,18 @@ def streaming_lsh_pairs(
     their bucket expired re-seed an empty bucket — pairs spanning more
     than the TTL are missed, the standard state-retention trade
     (None = the reference's Redis protocol, which also never expires).
+    The plateau is pinned by
+    tests/test_streaming_multimodal.py::test_streaming_lsh_state_plateaus_under_ttl.
+
+    Sizing the TTL for a Common-Crawl-style ingest: near-dups cluster
+    within a crawl segment (same site re-crawled, boilerplate shared
+    within a dump), so set the TTL to 2–4× the segment ingest interval —
+    e.g. hourly WARC batches → TTL 2–4 h. State then plateaus at
+    (buckets touched per TTL window) × up to cap members × ~(8·num_perm)
+    bytes per member; with 128 perms that is ≈ 1 KB per stored doc-entry,
+    so a window touching 10⁸ buckets with mean occupancy ~1 costs
+    ≈ 100 GB across the cluster's state stores — set the TTL window, not
+    the key space, to fit the executors' state budget.
     """
     import numpy as np
     import pandas as pd

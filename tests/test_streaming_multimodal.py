@@ -365,6 +365,84 @@ def test_streaming_lsh_state_ttl_evicts_idle_buckets(spark, tmp_path):
     assert max(totals_ttl) <= 2 * ph_ttl[0] + 2
 
 
+def test_streaming_lsh_state_plateaus_under_ttl(spark, tmp_path):
+    """Soak: push many epochs of FRESH content (new band buckets every
+    epoch, the unbounded-key-space shape of a real crawl) with a TTL
+    shorter than two epoch intervals. Without TTL, state rows grow
+    linearly with epochs (every epoch adds its buckets forever); with
+    TTL, earlier epochs' buckets are evicted as later ones arrive, so the
+    state-store row count PLATEAUS — the bucket-group count in the final
+    epochs must stop growing rather than track the cumulative epoch
+    count, and evictions must roughly keep pace with insertions."""
+    import time
+
+    from quarrycore_spark.config import DEFAULT_CONFIG as CFG
+    from quarrycore_spark.streaming.dedup_stream import streaming_lsh_pairs
+
+    schema = "doc_id long, text string"
+    ttl_ms = 1500
+    epochs = 6
+    src = str(tmp_path / "soak_src")
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_lsh_pairs(stream, CFG, state_ttl_ms=ttl_ms)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_soak")
+        .option("checkpointLocation", str(tmp_path / "soak_ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def consumed() -> int:
+        return int(sum(p["numInputRows"] for p in q.recentProgress))
+
+    def state_totals() -> list[int]:
+        return [
+            s["numRowsTotal"]
+            for p in q.recentProgress
+            for s in p.get("stateOperators") or []
+        ]
+
+    expect = 0
+    epoch_state = []
+    for e in range(epochs):
+        # fresh text every epoch -> an entirely new set of band buckets
+        text = (
+            f"epoch {e} carries its own vocabulary entirely: "
+            + " ".join(f"token{e}x{i}" for i in range(60))
+        )
+        spark.createDataFrame([(e, text)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        expect += 1
+        t0 = time.time()
+        while consumed() < expect:
+            assert time.time() - t0 < 120, f"epoch {e} rows never consumed"
+            time.sleep(0.3)
+        time.sleep(1.0)  # let the epoch's state commit land in progress
+        sts = state_totals()
+        epoch_state.append(max(sts) if sts else 0)
+        # idle past the TTL so this epoch's timers can fire before the next
+        time.sleep((ttl_ms / 1000) + 1.0)
+    removed = sum(
+        s.get("numRowsRemoved", 0) or 0
+        for p in q.recentProgress
+        for s in p.get("stateOperators") or []
+    )
+    q.stop()
+
+    per_epoch = max(epoch_state[0], 1)  # buckets one epoch contributes
+    # Plateau: the final epochs hold ~one-to-two epochs' worth of buckets,
+    # not the cumulative sum. Without eviction the last epoch would sit at
+    # epochs * per_epoch.
+    assert max(epoch_state[-2:]) <= 2 * per_epoch + 2, epoch_state
+    assert max(epoch_state) < epochs * per_epoch, epoch_state
+    # evictions kept pace: all but the final window's buckets were removed
+    assert removed >= (epochs - 2) * per_epoch, (removed, epoch_state)
+
+
 def test_streaming_lsh_pairs_stateful_cross_batch(spark, tmp_path):
     """applyInPandasWithState LSH: a near-dup pair split across TWO
     micro-batches must surface via bucket state (the streaming analogue of
