@@ -249,32 +249,41 @@ def _lang_id(dialect: str) -> str:
 
     langs = list(_LANG_WORDLISTS) + list(_LANG_CHARGRAMS)
     vote_cols = ", ".join(f"{hits(lg)} AS v_{lg}" for lg in langs)
-    clauses = []
-    for lg in langs:
-        conds = [f"v_{lg} >= {MIN_LANG_VOTES}"] + [
-            f"v_{lg} >= v_{o}" for o in langs if o != lg
-        ]
-        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
-    best = " ".join(clauses)
     out_votes = ", ".join(f"v_{lg}" for lg in langs)
     varr = ", ".join(f"v_{lg}" for lg in langs)
+    names = ", ".join(f"'{lg}'" for lg in langs)
+    # Top-1 selection is O(L) via first-position-of-max over the vote
+    # array (array_position/list_position return the FIRST match, which
+    # IS the declaration-order tie-break) — the pairwise CASE ladder this
+    # replaces was O(L²) comparisons and blew Spark's 64 KB codegen
+    # method limit at 43 languages, demoting the whole projection to
+    # interpreted mode.
     if dialect == SPARK:
-        margin = (
-            f"element_at(sort_array(array({varr}), false), 1) - "
-            f"element_at(sort_array(array({varr}), false), 2)"
+        mx = "element_at(sort_array(va, false), 1)"
+        margin = f"{mx} - element_at(sort_array(va, false), 2)"
+        best = (
+            f"CASE WHEN {mx} >= {MIN_LANG_VOTES} THEN "
+            f"element_at(array({names}), cast(array_position(va, {mx}) as int)) "
+            f"ELSE 'und' END"
         )
+        va = f"array({varr})"
     else:
-        margin = (
-            f"list_sort([{varr}], 'DESC')[1] - list_sort([{varr}], 'DESC')[2]"
+        mx = "list_sort(va, 'DESC')[1]"
+        margin = f"{mx} - list_sort(va, 'DESC')[2]"
+        best = (
+            f"CASE WHEN {mx} >= {MIN_LANG_VOTES} THEN "
+            f"[{names}][list_position(va, {mx})] ELSE 'und' END"
         )
+        va = f"[{varr}]"
     return f"""
 WITH {P.doc_norm(dialect, CFG)},
 _w AS (SELECT doc_id, nt, {words} AS ws FROM _docs),
-_v AS (SELECT doc_id, {vote_cols} FROM _w)
-SELECT doc_id, CASE {best} ELSE 'und' END AS lang_guess,
+_v AS (SELECT doc_id, {vote_cols} FROM _w),
+_a AS (SELECT doc_id, {va} AS va, {out_votes} FROM _v)
+SELECT doc_id, {best} AS lang_guess,
        {margin} AS vote_margin,
        {out_votes}
-FROM _v
+FROM _a
 """
 
 
