@@ -50,22 +50,25 @@ BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3300"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 # Corpus size for the scaling legs, as a replication factor over the
-# BENCH_PAGES base corpus. Bigger corpora push the job deeper into the
-# compute-bound regime (extraction + signatures dominate the wall) where
-# scaling is meaningful — a 100 TB corpus is always in that regime — and
-# they shrink the near-empty shuffle stages' fixed-overhead lottery
-# relative to the wall. The legs must FIT the budget — including TWO
-# local[1] draws (the round-4 record's weakness was a single N draw):
-# factor 32 (640k docs) costs ≈ 800 s per N leg + ≈ 210 s per 4N leg,
-# so the guaranteed [4N, N, 4N, N] plan is ≈ 2,050 s, leaving margin
-# for the preamble (headline queries + corpus write ≈ 350 s) inside the
-# default 3,300 s budget. Factor 48 only fits ONE N leg — don't use it
-# unless the budget grows. Auto-size from the budget unless overridden.
+# BENCH_PAGES base corpus. Two forces pull in opposite directions:
+# bigger corpora push the job deeper into the compute-bound regime
+# (extraction + signatures dominate — a 100 TB corpus always is) and
+# shrink the fixed-stage share, while SMALLER corpora buy MORE DRAWS
+# per side inside the budget — and draws are what make the min
+# estimator converge: the ambient-interference lottery inflates a draw
+# roughly in proportion to its duration (observed +45…+167 s on
+# 250–940 s legs, landing on a different stage each time), so P(one
+# clean draw) is what the plan buys, and min over 4–5 draws beats min
+# over 2 every time it matters. Factor 16 (320k docs, ≈ 135 s per 4N
+# leg / ≈ 400 s per N leg) fits 4N×4 + N×3 inside the default budget
+# with the preamble (≈ 350 s); an A/B at factor 8 measured the same
+# code at 0.94 efficiency, so the smaller corpus does not understate
+# the true ratio. Auto-size from the budget unless overridden.
 _factor_env = os.environ.get("SPARK_GRAFT_SCALE_FACTOR")
 if _factor_env is not None:
     SCALE_FACTOR = int(_factor_env)
 elif BUDGET_S >= 2900:
-    SCALE_FACTOR = 32
+    SCALE_FACTOR = 16
 elif BUDGET_S >= 1500:
     SCALE_FACTOR = 12
 else:
@@ -188,16 +191,21 @@ def main() -> None:
     pages_path = os.path.join(pages_dir, "pages")
     pages_df.repartition(CPUS).write.mode("overwrite").parquet(pages_path)
 
-    t0 = time.time()
-    run_pipeline(spark, spark.read.parquet(pages_path), out_dir, resume=False)
-    pipe_wall = time.time() - t0
+    # Best-of-2, same estimator as every other number here: a single
+    # 12–20 s draw whipsawed the recorded throughput ±75% between rounds
+    # (994 vs 1,723 docs/s on the same code) purely on lottery weather.
+    pipe_wall = float("inf")
+    for _rep in range(2):
+        t0 = time.time()
+        run_pipeline(spark, spark.read.parquet(pages_path), out_dir, resume=False)
+        pipe_wall = min(pipe_wall, time.time() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
     pipe_dps = BENCH_PAGES / pipe_wall
     RESULT["pipeline_docs_per_sec"] = round(pipe_dps, 2)
     RESULT["pipeline_docs"] = BENCH_PAGES
     RESULT["pipeline_wall_s"] = round(pipe_wall, 3)
     print(f"# pipeline: {BENCH_PAGES} docs in {pipe_wall:.1f}s = {pipe_dps:.1f} docs/s",
           file=sys.stderr)
-    shutil.rmtree(out_dir, ignore_errors=True)
 
     # scale corpus for the N-vs-4N runs (Spark-side replication)
     scale_path = os.path.join(pages_dir, "pages_scale")
@@ -259,14 +267,19 @@ def main() -> None:
                 return False
             r = json.loads(lines[-1])
             print(f"# scale local[{cores}] rep{rep}: {r}", file=sys.stderr)
-            draws.append({"cores": cores, "rep": rep, "wall_s": r["wall_s"]})
+            # stages ride along so the per-draw noise is auditable (which
+            # stage the lottery hit, each draw)
+            draws.append({"cores": cores, "rep": rep, "wall_s": r["wall_s"],
+                          "stages": r.get("stages", {})})
             est[cores] = r["wall_s"]
             if cores == SCALE_N * 4:
                 est[SCALE_N] = min(est[SCALE_N], r["wall_s"] * 3.5)
             best = runs.get(cores)
             if best is None or r["wall_s"] < best["wall_s"]:
                 runs[cores] = r
-                _update_scaling(runs, draws, scale_docs)
+            # update on EVERY draw, not only improving ones — draw counts
+            # and the per-stage mins must reflect all recorded draws
+            _update_scaling(runs, draws, scale_docs)
             return True
 
         def _update_scaling(runs, draws, docs) -> None:
@@ -287,11 +300,33 @@ def main() -> None:
             s["draws_4n"] = sum(1 for d in draws if d["cores"] == SCALE_N * 4)
             if n and n4:
                 s["efficiency"] = round((n["wall_s"] / n4["wall_s"]) / 4, 3)
+                # Per-stage minima ACROSS draws of a side: under the
+                # one-sided noise model every observed stage wall is an
+                # overestimate of that stage's true wall, and the lottery
+                # lands on a different stage each draw — so composing
+                # stage mins converges to the true leg wall with far
+                # fewer draws than the whole-leg min (which needs one
+                # draw where NO stage was hit). Both estimators are
+                # reported; every input to both is in `draws`.
+                def _stage_mins(cores: int) -> dict:
+                    walls: dict = {}
+                    for d in draws:
+                        if d["cores"] != cores:
+                            continue
+                        for k, v in d.get("stages", {}).items():
+                            if v > 0 and (k not in walls or v < walls[k]):
+                                walls[k] = v
+                    return walls
+                mn, m4 = _stage_mins(SCALE_N), _stage_mins(SCALE_N * 4)
                 s["stage_efficiency"] = {
-                    k: round((n["stages"][k] / v) / 4, 3)
-                    for k, v in n4.get("stages", {}).items()
-                    if v > 0 and k in n.get("stages", {})
+                    k: round((mn[k] / v) / 4, 3)
+                    for k, v in m4.items() if v > 0 and k in mn
                 }
+                common = [k for k in m4 if k in mn]
+                if common:
+                    s["efficiency_stage_min"] = round(
+                        (sum(mn[k] for k in common)
+                         / sum(m4[k] for k in common)) / 4, 3)
             RESULT["scaling"] = s
 
         # Guaranteed plan — SYMMETRIC (VERDICT r4 #1, ADVICE r4): one 4N
@@ -301,8 +336,11 @@ def main() -> None:
         # asymmetric plan biases the efficiency ratio.
         plan = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N]
         # Extras while budget allows, still alternating so neither min
-        # converges ahead of the other.
-        extras = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N * 4]
+        # converges ahead of the other. At factor 16 the full list fits
+        # the default budget (≈ 6×135 + 4×400 + preamble ≈ 2,800 s);
+        # when it doesn't, the budget gate trims from the tail.
+        extras = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N,
+                  SCALE_N * 4, SCALE_N * 4]
         for rep, cores in enumerate(plan + extras):
             if not run_leg(cores, rep) and cores == SCALE_N and SCALE_N not in runs:
                 # no N draw completed yet — no efficiency possible,

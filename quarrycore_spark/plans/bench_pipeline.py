@@ -86,6 +86,16 @@ def main() -> None:
         shutil.rmtree(wout, ignore_errors=True)
         print(f"# warmup done ({warmup_path})", file=sys.stderr)
     pages = spark.read.parquet(pages_path)
+    # Warm-read the MEASURED corpus untimed (sum-of-length forces a full
+    # decompress of the fat column, not a metadata count): the first leg
+    # after the corpus is written otherwise pays its cold read inside the
+    # timed window (+24 s observed on a 640k-doc 4-core leg) while later
+    # legs read the OS page cache — a leg-ordering artifact, not a
+    # scaling property. A real cluster's scan-cost symmetry is the
+    # storage layer's concern either way.
+    from pyspark.sql import functions as _F
+
+    pages.agg(_F.sum(_F.length("html"))).collect()
     n = pages.count()
     out = tempfile.mkdtemp(prefix=f"qc_scale_{cores}_")
     t0 = time.time()

@@ -127,6 +127,77 @@ def _stage(
     return df
 
 
+def final_table(
+    extracted: DataFrame,
+    docs: DataFrame,
+    clusters: DataFrame,
+    mh_pairs: DataFrame,
+    sh_pairs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """The labeled docs_dedup table (D15, D12, D17, P14-lite).
+
+    duplicate_type follows the reference ladder (fuzzy_matcher.py:200-211):
+    exact > near_exact (sim>=.95) > very_similar (>=.90) > minhash >
+    simhash > unique; `domain` mirrors the urlparse fields the reference
+    pipeline wires into every stored doc (pipeline.py:680-692).
+
+    Plan shape (pinned by tests/test_pipeline.py::
+    test_final_plan_keeps_text_local): the FAT side (extracted, carrying
+    the full text) joins slim frames only — `docs` re-carries
+    url/warc_ts/content_hash, all of which extracted already has, so
+    joining the whole `docs` frame (~140 B/row — past the broadcast
+    threshold at 10⁶ rows) would demote this to a sort-merge join and
+    shuffle every byte of extracted_text. The 9 B/row flag projection
+    stays broadcastable ~15× longer, and past that the SMJ moves 9 B/row
+    instead of the corpus. Same rule for clusters/mh_b/sh_b: slim, the
+    text never leaves its scan partitions.
+    """
+    mh_b = (
+        mh_pairs.groupBy(F.col("b_id").alias("doc_id"))
+        .agg(F.max("score").alias("best_agree"))
+        .withColumn("t_mh", F.lit(True))
+    )
+    sh_b = sh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_sh", F.lit(True))
+    flags = docs.select("doc_id", "is_exact_canonical")
+    return (
+        extracted.select(
+            "doc_id", "url", "warc_ts", "lang", "content_hash",
+            "extracted_text", "title", "quality_scaled", "extract_error",
+        )
+        .join(flags, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(mh_b, "doc_id", "left")
+        .join(sh_b, "doc_id", "left")
+        .select(
+            "doc_id", "url", "warc_ts", "lang", "content_hash",
+            F.parse_url("url", F.lit("HOST")).alias("domain"),
+            "extracted_text", "title", "quality_scaled", "extract_error",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.when(~F.col("is_exact_canonical"), "exact")
+            .when(
+                F.col("t_mh")
+                & (F.col("best_agree") * 100 >= cfg.num_perm * 95),
+                "near_exact",
+            )
+            .when(
+                F.col("t_mh")
+                & (F.col("best_agree") * 100 >= cfg.num_perm * 90),
+                "very_similar",
+            )
+            .when(F.col("t_mh"), "minhash")
+            .when(F.col("t_sh"), "simhash")
+            .otherwise("unique")
+            .alias("duplicate_type"),
+            (
+                ~F.col("is_exact_canonical")
+                | F.coalesce("t_mh", F.lit(False))
+                | F.coalesce("t_sh", F.lit(False))
+            ).alias("is_duplicate"),
+        )
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -292,67 +363,11 @@ def run_pipeline(
         resume, checkpoint, stage_counts,
     )
 
-    # ---- stage 6: final labeled docs table (D15, D12, D17, P14-lite) ------
-    # duplicate_type follows the reference ladder (fuzzy_matcher.py:200-211):
-    # exact > near_exact (sim>=.95) > very_similar (>=.90) > minhash >
-    # simhash > unique; `domain` mirrors the urlparse fields the reference
-    # pipeline wires into every stored doc (pipeline.py:680-692).
-    def build_final():
-        mh_b = (
-            mh_pairs.groupBy(F.col("b_id").alias("doc_id"))
-            .agg(F.max("score").alias("best_agree"))
-            .withColumn("t_mh", F.lit(True))
-        )
-        sh_b = sh_pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn("t_sh", F.lit(True))
-        # Join the FAT side (extracted, carrying the full text) against
-        # slim frames only: `docs` re-carries url/warc_ts/content_hash,
-        # all of which extracted already has, so joining the whole `docs`
-        # frame (~140 B/row — above the broadcast threshold at 10⁶ rows)
-        # would demote this to a sort-merge join and shuffle every byte
-        # of extracted_text. The 9 B/row flag projection stays broadcast-
-        # able ~15× longer, and past that the SMJ moves 9 B/row instead
-        # of the corpus. Same rule for clusters/mh_b/sh_b: slim, text
-        # never leaves its scan partitions.
-        flags = docs.select("doc_id", "is_exact_canonical")
-        return (
-            extracted.select(
-                "doc_id", "url", "warc_ts", "lang", "content_hash",
-                "extracted_text", "title", "quality_scaled", "extract_error",
-            )
-            .join(flags, "doc_id")
-            .join(clusters, "doc_id", "left")
-            .join(mh_b, "doc_id", "left")
-            .join(sh_b, "doc_id", "left")
-            .select(
-                "doc_id", "url", "warc_ts", "lang", "content_hash",
-                F.parse_url("url", F.lit("HOST")).alias("domain"),
-                "extracted_text", "title", "quality_scaled", "extract_error",
-                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-                F.when(~F.col("is_exact_canonical"), "exact")
-                .when(
-                    F.col("t_mh")
-                    & (F.col("best_agree") * 100 >= cfg.num_perm * 95),
-                    "near_exact",
-                )
-                .when(
-                    F.col("t_mh")
-                    & (F.col("best_agree") * 100 >= cfg.num_perm * 90),
-                    "very_similar",
-                )
-                .when(F.col("t_mh"), "minhash")
-                .when(F.col("t_sh"), "simhash")
-                .otherwise("unique")
-                .alias("duplicate_type"),
-                (
-                    ~F.col("is_exact_canonical")
-                    | F.coalesce("t_mh", F.lit(False))
-                    | F.coalesce("t_sh", F.lit(False))
-                ).alias("is_duplicate"),
-            )
-        )
-
+    # ---- stage 6: final labeled docs table (see final_table) -------------
     final = _stage(
-        spark, out_dir, man, "docs_dedup", build_final, resume, checkpoint,
+        spark, out_dir, man, "docs_dedup",
+        lambda: final_table(extracted, docs, clusters, mh_pairs, sh_pairs, cfg),
+        resume, checkpoint,
         stage_counts,
         extra_obs=[F.sum(F.col("is_duplicate").cast("long")).alias("dups")],
     )

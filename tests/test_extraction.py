@@ -325,6 +325,106 @@ def test_recipe_page_carousel_and_share_removed():
     assert accepted and tier == "selector" and text == got
 
 
+_PAYWALL_PAGE = b"""<body>
+<div class="masthead banner">The Daily Ledger</div>
+<article>
+  <h1>Port strike enters second week</h1>
+  <p>Container backlogs doubled as talks stalled over automation clauses.</p>
+  <div class="paywall-promo subscribe-box">Subscribe for $1/week to keep
+    reading</div>
+  <p>Retailers warn of holiday inventory gaps if the stoppage persists.</p>
+  <div class="trending-module"><h4>Trending</h4><a href="/t1">Rate cut odds</a></div>
+</article>
+<footer class="site-footer">terms / privacy</footer>
+</body>"""
+
+
+def test_paywall_page_promo_removed_content_kept():
+    got = extract_selector_text(_PAYWALL_PAGE)
+    # the interstitial subscribe box is chrome; BOTH real paragraphs stay
+    assert got == (
+        "Port strike enters second week Container backlogs doubled as "
+        "talks stalled over automation clauses. Retailers warn of holiday "
+        "inventory gaps if the stoppage persists."
+    )
+    assert "Subscribe" not in got and "Trending" not in got
+
+
+_WIKI_PAGE = b"""<body>
+<div id="site-navigation"><a href="/">Home</a><a href="/random">Random</a></div>
+<main>
+  <nav class="breadcrumbs">Encyclopedia / Optics</nav>
+  <h1>Total internal reflection</h1>
+  <p>Light striking a boundary beyond the critical angle reflects entirely
+  into the denser medium.</p>
+  <div class="infobox sidebar-card">Critical angle: arcsin(n2/n1)</div>
+  <p>Optical fibers exploit the effect to guide light with minimal loss.</p>
+  <div class="navbox related-topics">See also: refraction, fiber optics</div>
+</main>
+</body>"""
+
+
+def test_wiki_page_infobox_and_navbox_removed():
+    got = extract_selector_text(_WIKI_PAGE)
+    assert got == (
+        "Total internal reflection Light striking a boundary beyond the "
+        "critical angle reflects entirely into the denser medium. Optical "
+        "fibers exploit the effect to guide light with minimal loss."
+    )
+    assert "See also" not in got and "Critical angle" not in got
+
+
+_LISTING_PAGE = b"""<body>
+<header>TechNews network</header>
+<div class="content-list" id="content">
+  <h1>Latest in storage</h1>
+  <p>Our hands-on coverage of disks, tiers and formats, updated daily.</p>
+  <div class="ad-leaderboard">ADVERTISEMENT</div>
+  <p>This week: why QLC endurance stopped being scary.</p>
+  <ul class="pagination-controls"><li>1</li><li>2</li><li>Next</li></ul>
+</div>
+<aside class="newsletter-rail">Daily digest, free</aside>
+</body>"""
+
+
+def test_listing_page_ads_and_pager_removed():
+    got = extract_selector_text(_LISTING_PAGE)
+    assert got == (
+        "Latest in storage Our hands-on coverage of disks, tiers and "
+        "formats, updated daily. This week: why QLC endurance stopped "
+        "being scary."
+    )
+    assert "ADVERTISEMENT" not in got and "Next" not in got
+
+
+_VIDEO_PAGE = b"""<body>
+<nav class="top-nav">VideoHub</nav>
+<main>
+  <h1>How canal locks work</h1>
+  <div class="share-strip">Share Embed Save</div>
+  <p>A lock lifts boats by trapping water between two gates and letting
+  gravity do the pumping.</p>
+  <section class="comments-panel"><h3>891 comments</h3>
+    <div class="comment">Great animation!</div></section>
+  <div class="recommended-grid"><h4>Up next</h4><a href="/v2">Aqueducts</a></div>
+  <p>Transcript: the upstream gate opens only once the chamber level
+  matches the upper pound.</p>
+</main>
+</body>"""
+
+
+def test_video_page_comments_and_upnext_removed():
+    got = extract_selector_text(_VIDEO_PAGE)
+    assert got == (
+        "How canal locks work A lock lifts boats by trapping water "
+        "between two gates and letting gravity do the pumping. "
+        "Transcript: the upstream gate opens only once the chamber level "
+        "matches the upper pound."
+    )
+    assert "891 comments" not in got and "Up next" not in got
+    assert "Share Embed" not in got
+
+
 def _fixture_corpus():
     return [
         (_BOILERPLATE_PAGE, "The Widget 3000 reviewed"),
@@ -335,6 +435,10 @@ def _fixture_corpus():
         (_PRODUCT_PAGE, "Cast iron skillet"),
         (_FORUM_PAGE, "Switch lubing"),
         (_RECIPE_PAGE, "Weeknight dal"),
+        (_PAYWALL_PAGE, "Port strike enters"),
+        (_WIKI_PAGE, "Total internal reflection"),
+        (_LISTING_PAGE, "Latest in storage"),
+        (_VIDEO_PAGE, "How canal locks work"),
     ]
 
 
@@ -347,9 +451,11 @@ def test_selector_precision_metric_on_fixture_corpus():
     markers = ("cookie", "Subscribe", "Share", "Trending", "BUY NOW",
                "Related", "comments", "Blogroll", "copyright", "SPONSORED",
                "Page 1 of 3", "SAVE 20%", "also bought", "Reddit",
-               "Hot threads", "butter chicken", "WhatsApp", "Next page")
+               "Hot threads", "butter chicken", "WhatsApp", "Next page",
+               "ADVERTISEMENT", "Up next", "See also", "$1/week",
+               "Daily digest", "Random")
     fixtures = _fixture_corpus()
-    assert len(fixtures) >= 8  # corpus >= 2x the round-4 fixture set
+    assert len(fixtures) >= 12  # corpus >= 3x the round-4 fixture set
     sel_noise = strict_noise = 0
     for page, opening in fixtures:
         sel = extract_selector_text(page)

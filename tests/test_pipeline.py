@@ -358,3 +358,60 @@ def test_pipeline_with_reference_quality_gate(spark, corpus, tmp_path):
     gated = res.docs.filter(F.col("extract_error") == "quality_gate").count()
     # the synthetic corpus has short/non-English docs that fail both tiers
     assert gated > 0
+
+
+def test_final_plan_keeps_text_local(spark):
+    """Plan-shape pin for final_table (pipeline.py): the text column must
+    never enter an Exchange. The regression this guards: joining extracted
+    against the full ~140 B/row docs frame pushed the slim side past the
+    broadcast threshold at corpus scale, demoting the join to sort-merge —
+    a full shuffle of extracted_text. In `formatted` explain every operator
+    lists its Input/Output columns, so asserting no Exchange section
+    mentions extracted_text pins "the text never leaves its scan
+    partitions" directly."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from quarrycore_spark.plans.pipeline import final_table
+
+    extracted = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://x.test/"), F.col("id")).alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content_hash"),
+        F.repeat(F.lit("body text "), 50).alias("extracted_text"),
+        F.lit("t").alias("title"),
+        F.lit(100).alias("quality_scaled"),
+        F.lit(None).cast("string").alias("extract_error"),
+    )
+    docs = extracted.select(
+        "doc_id", "url", "warc_ts", "content_hash",
+        (F.col("doc_id") % 7 != 0).alias("is_exact_canonical"),
+    )
+    clusters = extracted.select("doc_id", (F.col("doc_id") % 5).alias("cluster_id"))
+    mh = spark.createDataFrame(
+        [(1, 2, 120), (3, 4, 125)], "a_id long, b_id long, score long"
+    ).select("a_id", "b_id", "score", F.lit("minhash").alias("kind"))
+    sh = spark.createDataFrame(
+        [(5, 6, 2)], "a_id long, b_id long, score long"
+    ).select("a_id", "b_id", "score", F.lit("simhash").alias("kind"))
+
+    final = final_table(extracted, docs, clusters, mh, sh)
+    plan = final._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted mode: a header tree, then one "(n) OperatorName" section per
+    # node with Input/Output column lists. No Exchange section may mention
+    # the text column.
+    sections = re.split(r"\n\(\d+\) ", plan)
+    for sec in sections[1:]:
+        op = sec.splitlines()[0]
+        if "Exchange" in op:
+            assert "extracted_text" not in sec, (
+                f"text column crosses an {op}:\n{sec[:500]}"
+            )
+    # sanity: the final output still carries the text, and rows survive
+    assert "extracted_text" in final.columns
+    assert final.count() == 100
