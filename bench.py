@@ -335,16 +335,27 @@ def main() -> None:
         # overestimates that leg under the one-sided noise model, and an
         # asymmetric plan biases the efficiency ratio.
         plan = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N]
-        # Extras while budget allows, still alternating so neither min
-        # converges ahead of the other. At factor 16 the full list fits
-        # the default budget (≈ 6×135 + 4×400 + preamble ≈ 2,800 s);
-        # when it doesn't, the budget gate trims from the tail.
-        extras = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N,
-                  SCALE_N * 4, SCALE_N * 4]
-        for rep, cores in enumerate(plan + extras):
+        for rep, cores in enumerate(plan):
             if not run_leg(cores, rep) and cores == SCALE_N and SCALE_N not in runs:
                 # no N draw completed yet — no efficiency possible,
                 # stop burning budget on more 4N draws
+                break
+
+        # Extras: STRICT alternation, 4N first (it is the cheap leg, so
+        # when the budget cuts the tail both sides keep equal-or-nearly
+        # equal draw counts). An adaptive pick-the-noisier-side variant
+        # was tried and rejected: the 4N leg's non-stage overhead keeps
+        # its leg-min-vs-stage-floor gap permanently larger, so it
+        # starved the N side of draws (observed 8-vs-2) — re-creating
+        # the asymmetric-plan upward bias the symmetric plan exists to
+        # prevent. When one side stops fitting the budget, the other
+        # still gets its turn before the loop gives up.
+        extras = [SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N,
+                  SCALE_N * 4, SCALE_N * 4]
+        for i, cores in enumerate(extras):
+            rep = len(plan) + i
+            other = SCALE_N * 4 if cores == SCALE_N else SCALE_N
+            if not run_leg(cores, rep) and not run_leg(other, rep):
                 break
 
     shutil.rmtree(pages_dir, ignore_errors=True)
