@@ -41,14 +41,26 @@ def decode_html(raw: bytes) -> str:
     return raw.decode("utf-8", errors="replace")
 
 
-def canonicalize_html(raw: bytes | str) -> str:
+def _strip_ssc(s: str) -> str:
+    """Drop script/style subtrees and comments — the shared first pass of
+    canonicalization and every extraction tier. The cascade computes it
+    ONCE per page (cascade_extract) instead of once per tier: these are
+    the three full-page regex passes, so sharing them cuts the per-doc
+    regex work ~2-3× without changing any tier's output."""
+    s = _SCRIPT.sub(" ", s)
+    s = _STYLE.sub(" ", s)
+    return _COMMENT.sub(" ", s)
+
+
+def canonicalize_html(raw: bytes | str, _pre_stripped: str | None = None) -> str:
     """Canonical text for exact-dup hashing: equivalent HTML (whitespace
     runs, comments, script/style, entity encodings) must map to equal
     output (reference test_canonical_html.py invariants, incl. idempotency)."""
-    s = raw if isinstance(raw, str) else decode_html(raw)
-    s = _SCRIPT.sub(" ", s)
-    s = _STYLE.sub(" ", s)
-    s = _COMMENT.sub(" ", s)
+    if _pre_stripped is None:
+        s = raw if isinstance(raw, str) else decode_html(raw)
+        s = _strip_ssc(s)
+    else:
+        s = _pre_stripped
     s = _TAG.sub(" ", s)
     s = _html.unescape(s)
     return _WS.sub(" ", s).strip()
@@ -63,14 +75,15 @@ def extract_title(raw: bytes | str) -> str | None:
     return t or None
 
 
-def extract_main_text(raw: bytes | str) -> str:
+def extract_main_text(raw: bytes | str, _pre_stripped: str | None = None) -> str:
     """Main-content extraction: chrome subtrees (nav/header/footer/aside/
     noscript) removed with their content — the soup-tier selector semantics
     (soup_extractor.py:94-176) — plus head (title goes to its own column)."""
-    s = raw if isinstance(raw, str) else decode_html(raw)
-    s = _SCRIPT.sub(" ", s)
-    s = _STYLE.sub(" ", s)
-    s = _COMMENT.sub(" ", s)
+    if _pre_stripped is None:
+        s = raw if isinstance(raw, str) else decode_html(raw)
+        s = _strip_ssc(s)
+    else:
+        s = _pre_stripped
     s = re.sub(r"<head\b[^>]*>.*?</head\s*>", " ", s, flags=re.I | re.S)
     prev = None
     while prev != s:  # nested chrome elements
@@ -81,15 +94,16 @@ def extract_main_text(raw: bytes | str) -> str:
     return _WS.sub(" ", s).strip()
 
 
-def extract_body_text(raw: bytes | str) -> str:
+def extract_body_text(raw: bytes | str, _pre_stripped: str | None = None) -> str:
     """Lenient tier: all body text INCLUDING chrome (nav/header/footer/…) —
     lower precision, never loses content. The fallback when the strict tier
     fails the quality gate (the reference's soup_fallback role in the
     cascade, manager.py:119-237)."""
-    s = raw if isinstance(raw, str) else decode_html(raw)
-    s = _SCRIPT.sub(" ", s)
-    s = _STYLE.sub(" ", s)
-    s = _COMMENT.sub(" ", s)
+    if _pre_stripped is None:
+        s = raw if isinstance(raw, str) else decode_html(raw)
+        s = _strip_ssc(s)
+    else:
+        s = _pre_stripped
     s = re.sub(r"<head\b[^>]*>.*?</head\s*>", " ", s, flags=re.I | re.S)
     s = _TAG.sub(" ", s)
     s = _html.unescape(s)
@@ -194,7 +208,7 @@ _SELECTOR_TIERS: tuple[tuple[re.Pattern, str], ...] = (
 )
 
 
-def extract_selector_text(raw: bytes | str) -> str:
+def extract_selector_text(raw: bytes | str, _pre_stripped: str | None = None) -> str:
     """Selector tier (highest precision): text of the page's declared
     main-content region only — `<main>`, `<article>`, `[role=main]`, or a
     content-ish id/class — with chrome subtrees inside it still removed,
@@ -204,10 +218,11 @@ def extract_selector_text(raw: bytes | str) -> str:
     Returns "" when the page declares no content region, which makes the
     cascade fall through to the strict tier (a from-scratch regex analogue
     of the reference's trafilatura-tier precision, cascade_extractor.py:479-499)."""
-    s = raw if isinstance(raw, str) else decode_html(raw)
-    s = _SCRIPT.sub(" ", s)
-    s = _STYLE.sub(" ", s)
-    s = _COMMENT.sub(" ", s)
+    if _pre_stripped is None:
+        s = raw if isinstance(raw, str) else decode_html(raw)
+        s = _strip_ssc(s)
+    else:
+        s = _pre_stripped
     for start_pat, tagname in _SELECTOR_TIERS:
         blocks = _find_balanced_blocks(s, start_pat, tagname)
         if blocks:
@@ -268,6 +283,7 @@ def cascade_extract(
     threshold_scaled: int = 0,
     overrides: dict[str, tuple[str, ...]] | None = None,
     default_order: tuple[str, ...] = DEFAULT_CASCADE,
+    _pre_stripped: str | None = None,
 ) -> tuple[str, str, int, bool]:
     """P6 cascade with quality gating (manager.py:119-237): try extractors
     in per-domain order, skip empty outputs, accept the first whose quality
@@ -276,9 +292,14 @@ def cascade_extract(
     returned with accepted=False — the row-preserving form of the
     reference's `return None` (the caller dead-letters instead of dropping).
     """
+    if _pre_stripped is None:
+        s = raw if isinstance(raw, str) else decode_html(raw)
+        pre = _strip_ssc(s)  # the 3 full-page passes, shared by every tier
+    else:
+        pre = _pre_stripped
     last: tuple[str, str, int] | None = None
     for name in resolve_cascade_order(url, overrides, default_order):
-        text = EXTRACTORS[name](raw)  # type: ignore[operator]
+        text = EXTRACTORS[name](raw, pre)  # type: ignore[operator]
         if not text.strip():
             continue
         q = quality_score_scaled(text, lang)
@@ -329,13 +350,20 @@ def extract_pages(
             hashes, extracted, titles, tiers, quality, errors = [], [], [], [], [], []
             for url, raw, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 try:
-                    c = canonicalize_html(raw)
+                    # decode once, strip script/style/comments once — the
+                    # canonicalizer and all three cascade tiers share the
+                    # same pre-stripped page (same output, ~half the
+                    # full-page regex passes per doc)
+                    s = raw if isinstance(raw, str) else decode_html(raw)
+                    pre = _strip_ssc(s)
+                    c = canonicalize_html(s, _pre_stripped=pre)
                     t, tier, q, accepted = cascade_extract(
-                        raw, url=url, lang=lang,
+                        s, url=url, lang=lang,
                         threshold_scaled=cascade_threshold,
                         overrides=domain_overrides,
+                        _pre_stripped=pre,
                     )
-                    ti = extract_title(raw)
+                    ti = extract_title(s)
                     err = None if accepted or not t else "quality_gate"
                 except Exception as e:  # noqa: BLE001 — dead-letter, not crash
                     c, t, ti, tier, q = "", "", None, "", 0
