@@ -114,3 +114,20 @@ def test_release_discipline_storage_stable(spark):
         released = release_sigs(spark)
         assert released >= 1
         assert persisted_count() == baseline, "persisted RDDs leaked after release"
+
+
+def test_registry_determinism_and_clean_bad_path(spark):
+    """Driver-contract robustness probes (the /verify recipe's 'probes
+    worth repeating', made permanent): (a) a pair-producing query run
+    twice returns identical sorted rows — shuffles, window tie-breaks and
+    bucket caps are all deterministic; (b) a nonexistent sf dir fails with
+    a clean AnalysisException instead of hanging or returning empty."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    q = REGISTRY["simhash_pairs"]
+    a = sorted(map(str, q.run_spark(spark, SF_CORRECT).collect()))
+    b = sorted(map(str, q.run_spark(spark, SF_CORRECT).collect()))
+    assert a == b and len(a) > 0
+    with _pytest.raises(AnalysisException):
+        REGISTRY["token_counts"].run_spark(spark, "/no/such/sf_dir").count()
