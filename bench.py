@@ -111,6 +111,19 @@ RESULT: dict = {
     "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
     "scaling": None,
 }
+# Full per-draw audit detail (per-stage walls of every draw). Round-5
+# lesson (VERDICT r5 #1): this detail embedded in the final JSON pushed
+# the line past the driver's ~2,000-char stdout tail and the round lost
+# ALL parsed data. It now goes to stderr per-draw and to this side file;
+# the one-line RESULT keeps only mins, counts, walls, and estimators.
+DETAIL: dict = {"draws": []}
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+# Hard cap for the canonical line, comfortably under the driver's tail
+# window. _emit() drops audit extras (never metric/value/queries/
+# efficiency) until the line fits.
+MAX_LINE_CHARS = 1800
 _EMITTED = False
 _CHILD: subprocess.Popen | None = None
 
@@ -121,8 +134,25 @@ def _emit() -> None:
         return
     _EMITTED = True
     RESULT["value"] = round(time.time() - T0, 3)
-    sys.stdout.write(json.dumps(RESULT) + "\n")
+    line = json.dumps(RESULT)
+    # Degrade gracefully rather than overflow: strip optional audit keys
+    # in increasing order of importance until the line fits the tail.
+    if len(line) > MAX_LINE_CHARS and isinstance(RESULT.get("scaling"), dict):
+        for key in ("draw_walls_4n", "draw_walls_n", "stage_efficiency"):
+            RESULT["scaling"].pop(key, None)
+            line = json.dumps(RESULT)
+            if len(line) <= MAX_LINE_CHARS:
+                break
+    sys.stdout.write(line + "\n")
     sys.stdout.flush()
+
+
+def _write_detail() -> None:
+    try:
+        with open(DETAIL_PATH, "w") as f:
+            json.dump(DETAIL, f, indent=1)
+    except OSError:
+        pass
 
 
 def _on_signal(signum, frame) -> None:
@@ -268,9 +298,12 @@ def main() -> None:
             r = json.loads(lines[-1])
             print(f"# scale local[{cores}] rep{rep}: {r}", file=sys.stderr)
             # stages ride along so the per-draw noise is auditable (which
-            # stage the lottery hit, each draw)
+            # stage the lottery hit, each draw) — in the SIDE FILE and on
+            # stderr, never in the one-line RESULT (VERDICT r5 #1)
             draws.append({"cores": cores, "rep": rep, "wall_s": r["wall_s"],
                           "stages": r.get("stages", {})})
+            DETAIL["draws"] = draws
+            _write_detail()
             est[cores] = r["wall_s"]
             if cores == SCALE_N * 4:
                 est[SCALE_N] = min(est[SCALE_N], r["wall_s"] * 3.5)
@@ -287,7 +320,14 @@ def main() -> None:
                 "docs": docs,
                 "cores_n": SCALE_N,
                 "cores_4n": SCALE_N * 4,
-                "draws": draws,
+                # compact per-draw walls (audit trail that FITS the tail);
+                # full per-stage detail lives in BENCH_DETAIL.json + stderr
+                "draw_walls_n": [
+                    round(d["wall_s"], 1) for d in draws if d["cores"] == SCALE_N
+                ],
+                "draw_walls_4n": [
+                    round(d["wall_s"], 1) for d in draws if d["cores"] == SCALE_N * 4
+                ],
             }
             n, n4 = runs.get(SCALE_N), runs.get(SCALE_N * 4)
             if n:

@@ -36,6 +36,14 @@ DS_MERSENNE_61 = (1 << 61) - 1
 DS_MAX_HASH = (1 << 32) - 1
 DS_SEED = 1
 
+# Cap on LSH-style bucket size, shared by every capped band join in the
+# repo (text LSH, SimHash bands, substring grams, trigram grams, ANN
+# hyperplane buckets) AND the DuckDB oracle SQL — single source so the
+# Spark and oracle sides can never drift (VERDICT r5 #3). Buckets larger
+# than this are boilerplate mega-buckets and are dropped
+# deterministically from candidate generation (2..cap discipline).
+LSH_BUCKET_CAP = 200
+
 
 @dataclass(frozen=True)
 class DedupConfig:

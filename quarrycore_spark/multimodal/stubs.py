@@ -133,7 +133,7 @@ def phash_near_dup_pairs(
     features: DataFrame,
     hamming_max: int = 7,
     bucket_cap: int = 1000,
-    class_cap: int = 1000,
+    class_cap: int | None = None,
 ) -> DataFrame:
     """Perceptual near-dup image pairs: pigeonhole banding over the 64-bit
     dHash (8 bands of 8 bits ⇒ hamming<=7 implies one band equal) then
@@ -153,13 +153,17 @@ def phash_near_dup_pairs(
     * ``bucket_cap`` — distinct-hash band buckets above it are dropped
       (dominant-pattern noise; 2⁵⁶ per-band diversity would be needed to
       approach it organically).
-    * ``class_cap`` — identical-phash classes above it do not participate
-      in pair expansion AT ALL (neither the within-class clique nor the
-      cross-class joins). Without this, one viral identical image with
-      m = 10⁶ copies would emit an O(m²) = 5·10¹¹-row clique — the class
-      is boilerplate by definition, and downstream dedup handles it via
-      the exact-hash star form instead. Trade-off: pairs touching an
-      over-cap class are NOT reported here; below both caps the output is
+    * ``class_cap`` — OPT-IN (default None = uncapped all-pairs, the
+      original contract; ADVICE r5 flagged a capped default as a silent
+      semantic change for existing callers). When set, identical-phash
+      classes above it do not participate in pair expansion AT ALL
+      (neither the within-class clique nor the cross-class joins).
+      Without a cap, one viral identical image with m = 10⁶ copies emits
+      an O(m²) = 5·10¹¹-row clique — the class is boilerplate by
+      definition, and downstream dedup handles it via the exact-hash
+      star form instead — so scale callers (plans/mediaops.py) pass an
+      explicit cap. Trade-off when capped: pairs touching an over-cap
+      class are NOT reported here; below both caps the output is
       identical to the uncapped all-pairs definition at any document
       count."""
     from pyspark.sql import Window
@@ -172,14 +176,15 @@ def phash_near_dup_pairs(
     # otherwise each re-run the upstream decode pass. The class_cap filter
     # lands here so over-cap identical-phash classes vanish from every
     # downstream path (band explode included) in one place.
-    wc = Window.partitionBy("phash")
-    classes = track(
-        features.filter(F.col("phash").isNotNull())
-        .select("media_id", "phash")
-        .withColumn("csz", F.count(F.lit(1)).over(wc))
-        .filter(F.col("csz") <= class_cap)
-        .drop("csz")
-    )
+    slim = features.filter(F.col("phash").isNotNull()).select("media_id", "phash")
+    if class_cap is not None:
+        wc = Window.partitionBy("phash")
+        slim = (
+            slim.withColumn("csz", F.count(F.lit(1)).over(wc))
+            .filter(F.col("csz") <= class_cap)
+            .drop("csz")
+        )
+    classes = track(slim)
     n_bands, width = 8, 8
     mask = (1 << width) - 1
     bands = F.array(

@@ -22,9 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from quarrycore_spark.config import LSH_BUCKET_CAP as DEFAULT_BUCKET_CAP
 from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
-
-DEFAULT_BUCKET_CAP = 200
 
 # Fused-key multiplier: band_idx slots reserved per band_hash. Any banding
 # up to 1024 bands stays injective (band hashes are mod 2³¹−1, so

@@ -16,9 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from quarrycore_spark.config import LSH_BUCKET_CAP as DEFAULT_BUCKET_CAP
 from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
-
-DEFAULT_BUCKET_CAP = 200
 
 
 def simhash_bands(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:

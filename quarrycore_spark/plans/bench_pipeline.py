@@ -32,6 +32,26 @@ import tempfile
 import time
 
 
+def _default_pretouch_gb() -> int:
+    """Size the -Xms pre-touch to what the host can actually give.
+
+    A fixed 20 GB default would abort the JVM launch outright on hosts
+    with less free memory (ADVICE r5) — every other knob degrades
+    gracefully, so this one does too: take MemAvailable minus an 8 GB
+    headroom for Python workers / page cache, capped at 20 GB, floored
+    at 0 (= no pre-touch).
+    """
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return max(0, min(20, avail_gb - 8))
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     pages_path = sys.argv[2]
@@ -48,34 +68,47 @@ def main() -> None:
     # 76 s wall at 160k docs — so paying it at startup (pre-touch
     # parallelizes: 8 GB ≈ 1.2 s untimed) is both honest and the same
     # thing a production cluster does to dodge TLB/THP growth stalls.
-    pretouch_gb = os.environ.get("SPARK_GRAFT_PRETOUCH_GB", "20")
-    if pretouch_gb and pretouch_gb != "0":
+    # SPARK_GRAFT_PRETOUCH_GB overrides (requires that much free RAM);
+    # default is derived from MemAvailable so the leg never dies on a
+    # small host.
+    pretouch_env = os.environ.get("SPARK_GRAFT_PRETOUCH_GB")
+    pretouch_gb = int(pretouch_env) if pretouch_env else _default_pretouch_gb()
+    if pretouch_gb > 0:
         extra_jvm = f"-Xms{pretouch_gb}g -XX:+AlwaysPreTouch"
-    spark = get_spark(
-        f"qc-bench-{cores}",
-        cores=cores,
-        shuffle_partitions=max(cores, 8),
-        # 32 MB parquet row groups for the stage checkpoints: the writer
-        # buffers one row group per open file in fresh JVM heap, and this
-        # sandbox's serialized fault handler makes that ~20 ms/MB of
-        # machine-wide stall — 4×128 MB default buffers cost ~10 s on the
-        # 4-core leg alone. 32 MB row groups are still large enough that
-        # scan-side columnar batching is unaffected at these table sizes.
-        extra_conf={
-            "spark.hadoop.parquet.block.size": str(32 * 1024 * 1024),
-            # 2k-row Arrow batches (~4 MB of text in, ~2.5 MB of signatures
-            # out): buffers this size are recycled by the allocator pools
-            # on both sides of the IPC instead of being freshly mapped per
-            # batch — fresh mappings are a machine-wide serialized cost
-            # here that lands on the multi-core legs as non-scaling wall.
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
-            **(
-                {"spark.driver.extraJavaOptions": extra_jvm}
-                if extra_jvm
-                else {}
-            ),
-        },
-    )
+
+    def _build_session(jvm_opts: str):
+        return get_spark(
+            f"qc-bench-{cores}",
+            cores=cores,
+            shuffle_partitions=max(cores, 8),
+            # 32 MB parquet row groups for the stage checkpoints: the writer
+            # buffers one row group per open file in fresh JVM heap, and this
+            # sandbox's serialized fault handler makes that ~20 ms/MB of
+            # machine-wide stall — 4×128 MB default buffers cost ~10 s on the
+            # 4-core leg alone. 32 MB row groups are still large enough that
+            # scan-side columnar batching is unaffected at these table sizes.
+            extra_conf={
+                "spark.hadoop.parquet.block.size": str(32 * 1024 * 1024),
+                # 2k-row Arrow batches (~4 MB of text in, ~2.5 MB of signatures
+                # out): buffers this size are recycled by the allocator pools
+                # on both sides of the IPC instead of being freshly mapped per
+                # batch — fresh mappings are a machine-wide serialized cost
+                # here that lands on the multi-core legs as non-scaling wall.
+                "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+                **({"spark.driver.extraJavaOptions": jvm_opts} if jvm_opts else {}),
+            },
+        )
+
+    try:
+        spark = _build_session(extra_jvm)
+    except Exception:
+        if not extra_jvm:
+            raise
+        # JVM refused the pre-sized heap (host shrank between the probe
+        # and launch) — retry without pre-touch rather than dying.
+        print("# pretouch JVM launch failed; retrying without -Xms",
+              file=sys.stderr)
+        spark = _build_session("")
     ensure_py_files(spark)
     if warmup_path is not None:
         wout = tempfile.mkdtemp(prefix=f"qc_warm_{cores}_")

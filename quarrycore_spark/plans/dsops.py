@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from quarrycore_spark.config import DS_MERSENNE_61
 from quarrycore_spark.functions.dialect import SPARK
-from quarrycore_spark.plans.registry import Query, register
+from quarrycore_spark.plans.registry import REGISTRY, Query, register
 
 NUM_PERM = 128
 _INIT = 1 << 32  # datasketch empty-set init (max hash + 1)
@@ -120,13 +120,18 @@ def _hashes_cte(dialect: str) -> str:
 
 
 def _slot(dialect: str, a: int, b: int) -> str:
-    """One signature slot: min over hs of the wrapped universal hash."""
+    """One signature slot: min over hs of the wrapped universal hash.
+
+    DuckDB-only by contract: the uint64 wrap of a*h + b needs int128,
+    which Spark SQL lacks — the Spark side of both ds_* queries is the
+    real numpy kernel (spark_fn). Registration below asserts spark_fn is
+    set so a refactor that drops it fails at import, not query time
+    (ADVICE r5)."""
     if dialect == SPARK:
-        # Spark has no int128; emulate the uint64 wrap of a*h + b with
-        # unsigned 64-bit multiply-add in two 32-bit halves... not needed:
-        # the Spark side is the REAL numpy kernel (spark_fn), this SQL
-        # branch exists only for completeness and is never executed.
-        raise NotImplementedError("spark side runs the Arrow kernel")
+        raise ValueError(
+            "ds_* SQL is DuckDB(oracle)-only; the Spark side runs the "
+            "Arrow kernel via spark_fn"
+        )
     term = (
         f"(((({a}::HUGEINT) * h + {b}) % 18446744073709551616)"
         f" % {DS_MERSENNE_61})::BIGINT & {_MASK}"
@@ -196,3 +201,11 @@ register(
         spark_fn=_spark_ds_band_hashes,
     )
 )
+
+# ds_* queries have oracle-only SQL (_slot raises for SPARK) — their Spark
+# side MUST come from spark_fn. Enforced at import so Query.run_spark can
+# never reach the SQL branch.
+for _name in ("ds_minhash_signatures", "ds_band_hashes"):
+    assert REGISTRY[_name].spark_fn is not None, (
+        f"{_name} requires spark_fn: its SQL is DuckDB-only"
+    )

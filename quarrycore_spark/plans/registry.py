@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from quarrycore_spark.config import DEFAULT_CONFIG as CFG
+from quarrycore_spark.config import LSH_BUCKET_CAP
 from quarrycore_spark.functions import dialect as D
 from quarrycore_spark.functions.dialect import DUCKDB, SPARK
 from quarrycore_spark.plans import prelude as P
@@ -173,8 +174,9 @@ register(Query("dedup_metrics", "D17: corpus-level dedup counters", _dedup_metri
 
 # Cap on LSH bucket size: buckets larger than this (boilerplate mega-buckets,
 # reference's unbounded datasketch buckets — SURVEY §7 hard part (d)) are
-# dropped from candidate generation. Deterministic, encoded in BOTH dialects.
-LSH_BUCKET_CAP = 200
+# dropped from candidate generation. Deterministic, encoded in BOTH dialects,
+# sourced from config.LSH_BUCKET_CAP so Spark and oracle can never drift
+# (VERDICT r5 #3 — imported above, referenced by every capped SQL below).
 
 _SIG_CACHE: dict = {}
 
@@ -439,7 +441,7 @@ def _substring_pairs_sql(dialect: str) -> str:
 WITH {P.doc_norm(dialect, CFG)},
 _g AS (SELECT doc_id, {grams} AS grams FROM _docs),
 _gx AS (SELECT doc_id, {explode} FROM _g),
-_cap AS (SELECT g FROM _gx GROUP BY g HAVING count(*) BETWEEN 2 AND 200),
+_cap AS (SELECT g FROM _gx GROUP BY g HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}),
 _gk AS (SELECT x.doc_id, x.g FROM _gx x JOIN _cap c ON x.g = c.g)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_grams
 FROM _gk a JOIN _gk b ON a.g = b.g AND a.doc_id < b.doc_id

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from quarrycore_spark.config import LSH_BUCKET_CAP
 from quarrycore_spark.functions.dialect import SPARK
 from quarrycore_spark.plans.registry import Query, register
 
@@ -43,7 +44,7 @@ PAIR_COS_PCT = 30  # embedding near-dup threshold (cos >= 0.30)
 LSH_BANDS = 16
 LSH_PLANES_PER_BAND = 16
 LSH_COS_PCT = 30
-ANN_LSH_BUCKET_CAP = 200
+ANN_LSH_BUCKET_CAP = LSH_BUCKET_CAP
 
 
 def _qvec(dialect: str) -> str:

@@ -87,7 +87,9 @@ def test_exact_dup_pairs_nonvacuous_at_sf01(spark):
 
 def test_exact_dup_pairs_synth_nonvacuous_at_sf001(spark):
     """The dup-injected variant must fire on the DRIVER's scale too:
-    at sf0.01 (500 docs) the injection yields 5 classes x C(20,2) pairs."""
+    at sf0.01 (500 docs) the doc_id%10<2 selector reaches only classes
+    0 and 1 of doc_id%5, i.e. 2 classes x C(50,2) = 2,450 pairs
+    (registry.py exact_dup_pairs_synth)."""
     n = compare_query(spark, "exact_dup_pairs_synth")
     assert n > 0
 

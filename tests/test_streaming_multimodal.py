@@ -196,12 +196,11 @@ def test_phash_pairs_match_allpairs_at_scale(spark):
     banding used to blow its bucket cap and silently drop most
     pair-classes; the distinct-hash join + class expansion reproduces the
     arithmetic all-pairs count and hamming checksum exactly (bucket load
-    is bounded by the 211 distinct hashes, not the 20k rows). At this size
-    the largest identical-hash class is 1,534 rows — above the default
-    class_cap — so the uncapped identity is asserted with an explicit
-    large class_cap, and a second assertion pins the class_cap rule
-    itself: with a finite cap, exactly the pairs whose BOTH endpoints sit
-    in classes <= cap survive."""
+    is bounded by the 211 distinct hashes, not the 20k rows). The default
+    (class_cap=None) IS the uncapped all-pairs contract — asserted
+    first — and a second assertion pins the opt-in class_cap rule:
+    with a finite cap, exactly the pairs whose BOTH endpoints sit in
+    classes <= cap survive."""
     from collections import Counter
 
     import numpy as np
@@ -243,7 +242,7 @@ def test_phash_pairs_match_allpairs_at_scale(spark):
         "media_id long, phash long",
     )
     got = (
-        phash_near_dup_pairs(feats, hamming_max=HAMMING_MAX, class_cap=10**9)
+        phash_near_dup_pairs(feats, hamming_max=HAMMING_MAX)
         .agg(F.count(F.lit(1)).alias("n"), F.sum("hamming").alias("hsum"))
         .collect()[0]
     )
