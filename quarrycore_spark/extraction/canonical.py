@@ -184,6 +184,66 @@ def _find_balanced_blocks(s: str, start_pat: re.Pattern, tagname: str) -> list[s
         i = j
 
 
+# Link-density pruning inside the selected content region — the regex
+# expression of trafilatura's favor_precision element pruning
+# (reference trafilatura_extractor.py:83-135 configures favor_precision;
+# trafilatura's own algorithm drops subtrees whose text is mostly anchor
+# text). A block whose text is >= LINK_DENSITY_MAX anchor-text and whose
+# NON-link text is shorter than LINK_KEEP_MIN_CHARS is navigation
+# furniture ("related stories" <ul>s, tag clouds, read-more rails) even
+# when it carries no chrome class token — the case the class list above
+# cannot catch. Long paragraphs with many inline links survive via the
+# non-link-length guard.
+_LINK_BLOCK_START = re.compile(r"<(ul|ol|div|section|table)\b[^>]*>", re.I)
+_ANCHOR_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
+LINK_DENSITY_MAX = 0.65
+LINK_KEEP_MIN_CHARS = 120
+
+
+def _plain_len(fragment: str) -> int:
+    return len(_WS.sub(" ", _html.unescape(_TAG.sub(" ", fragment))).strip())
+
+
+def _prune_link_dense(s: str) -> str:
+    """`s` with every link-dense block removed (balanced-tag walk, same
+    machinery as `_remove_balanced_blocks`). A block survives when its
+    anchor-text share < LINK_DENSITY_MAX or its non-anchor text >=
+    LINK_KEEP_MIN_CHARS; surviving blocks are then scanned INSIDE (the
+    open tag is skipped, so nested link farms inside a kept wrapper are
+    still examined independently)."""
+    out = []
+    i = 0
+    while True:
+        m = _LINK_BLOCK_START.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        tagre = re.compile(rf"<(/?){m.group(1)}\b[^>]*>", re.I)
+        depth = 1
+        j = m.end()
+        end = len(s)
+        while depth:
+            m2 = tagre.search(s, j)
+            if not m2:
+                break
+            depth += -1 if m2.group(1) else 1
+            j = m2.end()
+            if depth == 0:
+                end = j
+        inner = s[m.end() : end]
+        total = _plain_len(inner)
+        if total:
+            link = sum(_plain_len(g) for g in _ANCHOR_TEXT.findall(inner))
+            link = min(link, total)  # nested-anchor safety
+            if link / total >= LINK_DENSITY_MAX and total - link < LINK_KEEP_MIN_CHARS:
+                out.append(s[i : m.start()])
+                i = end  # prune: drop the whole block
+                continue
+        # keep: emit the open tag, keep scanning inside the block
+        out.append(s[i : m.end()])
+        i = m.end()
+
+
 # Content-selector priority — the regex expression of the reference
 # cascade's CSS-selector targeting (cascade_extractor.py:479-499: main,
 # article, [role=main], #content/.content/.post/.entry/.article-body
@@ -232,6 +292,14 @@ def extract_selector_text(raw: bytes | str, _pre_stripped: str | None = None) ->
                 prev = joined
                 joined = _CHROME.sub(" ", joined)
                 joined = _remove_balanced_blocks(joined, _CHROME_CLASS_START)
+            # favor_precision link-density pass (unclassed link farms the
+            # chrome lists can't see). Recall guard: if pruning empties a
+            # region that had text, the region itself was link-dense (a
+            # listing page's declared content) — keep the unpruned text
+            # rather than falling through to a lower-precision tier.
+            pruned = _prune_link_dense(joined)
+            if _plain_len(pruned) or not _plain_len(joined):
+                joined = pruned
             joined = _TAG.sub(" ", joined)
             joined = _html.unescape(joined)
             return _WS.sub(" ", joined).strip()

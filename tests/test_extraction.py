@@ -425,8 +425,62 @@ def test_video_page_comments_and_upnext_removed():
     assert "Share Embed" not in got
 
 
+# --- pages whose furniture carries NO chrome class token --------------------
+# Only the link-density pass (trafilatura favor_precision semantics,
+# canonical._prune_link_dense) can remove these: unclassed link lists, tag
+# clouds, and read-more rails INSIDE the declared content region.
+
+_TAGCLOUD_PAGE = b"""<body><article>
+<h1>Rail freight rebounds</h1>
+<p>Intermodal volumes rose nine percent year over year as shippers moved
+inventory early ahead of contract negotiations, the association said.</p>
+<p>Spot rates remain soft, but operators expect tightening by spring.</p>
+<ul><li><a href="/t/rail">rail</a></li><li><a href="/t/freight">freight</a></li>
+<li><a href="/t/logistics">logistics</a></li><li><a href="/t/ports">ports</a></li></ul>
+<div><a href="/more1">Dockworkers ratify deal</a>
+<a href="/more2">Warehouse vacancies climb</a>
+<a href="/more3">Parcel peak-season surcharges</a></div>
+</article></body>"""
+
+
+def test_unclassed_tagcloud_and_morelinks_pruned():
+    got = extract_selector_text(_TAGCLOUD_PAGE)
+    assert got == (
+        "Rail freight rebounds Intermodal volumes rose nine percent year "
+        "over year as shippers moved inventory early ahead of contract "
+        "negotiations, the association said. Spot rates remain soft, but "
+        "operators expect tightening by spring."
+    )
+    assert "logistics" not in got and "Dockworkers" not in got
+
+
+_READMORE_PAGE = b"""<body><main>
+<h1>City approves bike lanes</h1>
+<p>The council voted seven to two to convert the curb lane on Fifth into a
+protected cycle track, citing a forty percent rise in bicycle commuting.</p>
+<p>Construction begins in May and <a href="/plan">the full plan</a> keeps
+two travel lanes for general traffic throughout the corridor.</p>
+<div><ul>
+<li><a href="/r1">Read more: Transit ridership recovers</a></li>
+<li><a href="/r2">Read more: Parking reform stalls</a></li>
+<li><a href="/r3">Read more: Sidewalk repair backlog</a></li>
+</ul></div>
+</main></body>"""
+
+
+def test_unclassed_readmore_rail_pruned_inline_link_kept():
+    got = extract_selector_text(_READMORE_PAGE)
+    assert got.startswith("City approves bike lanes")
+    # inline link text inside a prose paragraph survives
+    assert "the full plan" in got
+    # the unclassed read-more rail (outer div AND inner ul) is pruned
+    assert "Read more" not in got and "Parking reform" not in got
+
+
 def _fixture_corpus():
     return [
+        (_TAGCLOUD_PAGE, "Rail freight rebounds"),
+        (_READMORE_PAGE, "City approves bike lanes"),
         (_BOILERPLATE_PAGE, "The Widget 3000 reviewed"),
         (_NEWS_PAGE, "Acme posts record"),
         (_BLOG_PAGE, "Hydration, temperature"),
@@ -453,9 +507,11 @@ def test_selector_precision_metric_on_fixture_corpus():
                "Page 1 of 3", "SAVE 20%", "also bought", "Reddit",
                "Hot threads", "butter chicken", "WhatsApp", "Next page",
                "ADVERTISEMENT", "Up next", "See also", "$1/week",
-               "Daily digest", "Random")
+               "Daily digest", "Random",
+               # unclassed furniture only the link-density pass catches
+               "Dockworkers", "Read more")
     fixtures = _fixture_corpus()
-    assert len(fixtures) >= 12  # corpus >= 3x the round-4 fixture set
+    assert len(fixtures) >= 14  # round-4 set ×3, +2 density-only fixtures
     sel_noise = strict_noise = 0
     for page, opening in fixtures:
         sel = extract_selector_text(page)
