@@ -277,7 +277,17 @@ def main() -> None:
                  str(cores), scale_path, pages_path],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
-                env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+                env={
+                    **os.environ,
+                    "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+                    # both legs run the IDENTICAL job shape: stage-output
+                    # file count pinned to the 4N leg's natural value, so
+                    # the N leg doesn't get a structurally cheaper job
+                    # (fewer writer-buffer allocations) than the 4N leg
+                    "SPARK_GRAFT_STAGE_FILES": os.environ.get(
+                        "SPARK_GRAFT_STAGE_FILES", str(4 * SCALE_N * 4)
+                    ),
+                },
             )
             try:
                 out, err = _CHILD.communicate(timeout=leg_budget)
@@ -301,7 +311,9 @@ def main() -> None:
             # stage the lottery hit, each draw) — in the SIDE FILE and on
             # stderr, never in the one-line RESULT (VERDICT r5 #1)
             draws.append({"cores": cores, "rep": rep, "wall_s": r["wall_s"],
-                          "stages": r.get("stages", {})})
+                          "stages": r.get("stages", {}),
+                          "steal_s": r.get("steal_s"),
+                          "load1": r.get("load1")})
             DETAIL["draws"] = draws
             _write_detail()
             est[cores] = r["wall_s"]

@@ -413,8 +413,12 @@ def extract_pages(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import os as _os
+        import time as _time
 
+        _klog = _os.environ.get("SPARK_GRAFT_KERNEL_LOG")
         for pdf in batches:
+            _t0 = _time.time() if _klog else 0.0
             hashes, extracted, titles, tiers, quality, errors = [], [], [], [], [], []
             for url, raw, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 try:
@@ -445,6 +449,9 @@ def extract_pages(
                 tiers.append(tier)
                 quality.append(q)
                 errors.append(err)
+            if _klog:
+                with open(f"{_klog}.ext.{_os.getpid()}", "a") as f:
+                    f.write(f"{len(pdf)} {_time.time() - _t0:.4f}\n")
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],

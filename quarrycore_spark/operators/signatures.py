@@ -299,7 +299,12 @@ def with_signatures(
     b = np.array([p[1] for p in cfg.minhash_perms], dtype=np.int64)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+        import time as _time
+
+        _klog = _os.environ.get("SPARK_GRAFT_KERNEL_LOG")
         for pdf in batches:
+            _t0 = _time.time() if _klog else 0.0
             n = len(pdf)
             texts = pdf[text_col].astype(str).tolist()
             if family == "poly":
@@ -316,6 +321,9 @@ def with_signatures(
                     ch[j], sig[j], bands[j], sim[j] = (
                         c, s.astype(np.int32), bd.astype(np.int32), sm,
                     )
+            if _klog:
+                with open(f"{_klog}.sig.{_os.getpid()}", "a") as f:
+                    f.write(f"{n} {_time.time() - _t0:.4f}\n")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

@@ -52,6 +52,29 @@ def _default_pretouch_gb() -> int:
     return 0
 
 
+def _cpu_steal_s() -> float:
+    """Cumulative steal time (seconds) from /proc/stat — time the
+    hypervisor ran something else while this guest's vCPUs were runnable.
+    The per-leg delta is the direct audit signal for ambient host load:
+    a 4N leg with high steal is being throttled by co-tenants, not by
+    this job's plan (BENCH.md "Ambient CPU load")."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return 0.0
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     pages_path = sys.argv[2]
@@ -75,6 +98,18 @@ def main() -> None:
     pretouch_gb = int(pretouch_env) if pretouch_env else _default_pretouch_gb()
     if pretouch_gb > 0:
         extra_jvm = f"-Xms{pretouch_gb}g -XX:+AlwaysPreTouch"
+    # Size the JVM's internal pools (GC worker threads, JIT compiler
+    # threads, common ForkJoin pool) to the leg's core count instead of
+    # the machine's: a local[4] JVM on a 32-CPU host otherwise launches
+    # ~23 parallel GC threads, and on a BUSY host every young-gen pause
+    # waits for 23 straggling threads to get scheduled — measured here as
+    # the largest non-scaling term of the 4-core leg under ambient CPU
+    # load (stage efficiency 0.65 → see BENCH.md "Ambient CPU load").
+    # This is exactly what a production executor sees: a cgroup-limited
+    # container reports its own core count, not the host's.
+    # SPARK_GRAFT_APC=0 disables (A/B knob).
+    if os.environ.get("SPARK_GRAFT_APC", "1") != "0":
+        extra_jvm = f"{extra_jvm} -XX:ActiveProcessorCount={cores}".strip()
 
     def _build_session(jvm_opts: str):
         return get_spark(
@@ -131,6 +166,7 @@ def main() -> None:
     pages.agg(_F.sum(_F.length("html"))).collect()
     n = pages.count()
     out = tempfile.mkdtemp(prefix=f"qc_scale_{cores}_")
+    steal0, load1 = _cpu_steal_s(), _load1()
     t0 = time.time()
     # Scaling-run configuration: the measured job is the dedup DETECTION
     # pipeline (extract → exact → signatures → LSH + SimHash pairs → CC →
@@ -147,7 +183,9 @@ def main() -> None:
             print(f"# {m['stage']}: {m['wall_s']}s ({m.get('rows')} rows)", file=sys.stderr)
     shutil.rmtree(out, ignore_errors=True)
     print(json.dumps({"cores": cores, "docs": n, "wall_s": round(wall, 3),
-                      "docs_per_sec": round(n / wall, 2), "stages": stages}))
+                      "docs_per_sec": round(n / wall, 2), "stages": stages,
+                      "steal_s": round(_cpu_steal_s() - steal0, 1),
+                      "load1": load1}))
 
 
 if __name__ == "__main__":

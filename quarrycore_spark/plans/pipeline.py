@@ -100,7 +100,16 @@ def _stage(
         # tiny-file pollution on a real cluster). coalesce (not repartition):
         # no shuffle, never increases partitions, so it is a no-op for
         # already-narrow stages — no plan inspection needed.
-        df = df.coalesce(4 * spark.sparkContext.defaultParallelism)
+        # SPARK_GRAFT_STAGE_FILES pins the count explicitly — the scaling
+        # legs set it so the N and 4N legs run the IDENTICAL job shape
+        # (same task count, same number of 32 MB writer-buffer
+        # allocations); letting it float with defaultParallelism gave the
+        # 1-core leg a structurally cheaper job (4 writer buffers vs 16),
+        # biasing the measured N-vs-4N ratio.
+        n_files = int(
+            os.environ.get("SPARK_GRAFT_STAGE_FILES", "0")
+        ) or 4 * spark.sparkContext.defaultParallelism
+        df = df.coalesce(n_files)
         obs = Observation(f"stage_{name}_{int(t0 * 1000)}")
         df.observe(
             obs, F.count(F.lit(1)).alias("n"), *(extra_obs or [])
