@@ -213,10 +213,10 @@ def release_sigs(spark: SparkSession | None = None) -> int:
     return released
 
 
-def _sig_prelude(dialect: str) -> str:
-    """CTE chain documents → normalized → shingles → 31-bit hashes → signature."""
+def _sig_prelude(dialect: str, table: str = "documents") -> str:
+    """CTE chain {table} → normalized → shingles → 31-bit hashes → signature."""
     return (
-        f"{P.doc_norm(dialect, CFG)},\n{P.doc_shingles(dialect, CFG)},\n"
+        f"{P.doc_norm(dialect, CFG, table=table)},\n{P.doc_shingles(dialect, CFG)},\n"
         f"{P.doc_hashes31(dialect, CFG)},\n"
         f"_sig AS (SELECT doc_id, {D.minhash_array('hs', CFG, dialect)} AS sig, "
         f"{D.band_hash_array('hs', CFG, dialect)} AS bands FROM _h)"
@@ -251,9 +251,9 @@ register(
 )
 
 
-def _band_cte(dialect: str) -> str:
+def _band_cte(dialect: str, table: str = "documents") -> str:
     """CTEs producing capped LSH band buckets → `_bx` (doc_id, band_idx, band_hash)."""
-    return f"""{_sig_prelude(dialect)},
+    return f"""{_sig_prelude(dialect, table)},
 _bx AS (SELECT doc_id, {D.posexplode('bands', 'band_idx', 'band_hash', dialect)} FROM _sig),
 _cap AS (
   SELECT band_idx, band_hash FROM _bx
@@ -328,6 +328,95 @@ register(
         "D7+D8: LSH candidates verified at signature-Jaccard >= 0.85",
         _minhash_verified_pairs,
         spark_fn=_spark_minhash_verified_pairs,
+    )
+)
+
+
+# Injected-copy near-dup recall (VERDICT r5 #7): makes the pipeline's
+# >=0.99 recall gate (previously pytest-only) part of the driver's
+# CORRECTNESS record. Same synthesis device as exact_dup_pairs_synth:
+# docs with doc_id % 10 < 2 AND length(text) >= 200 get a copy at
+# doc_id + RECALL_ID_OFFSET with a 3-char suffix appended — a true
+# near-duplicate (shingle-Jaccard ~0.95+ at the 200-char floor; shorter
+# docs are excluded because a 3-char edit honestly drops them below the
+# 0.85 threshold, which would test the corpus, not the operator). The
+# full md5-family LSH+verify path runs over base+copies in BOTH
+# dialects; output is one row per injected pair with its verified flag
+# and agreement count, so the value hash pins recall bit-for-bit.
+RECALL_ID_OFFSET = 1_000_000
+_RECALL_SELECTOR = "doc_id % 10 < 2 AND length(text) >= 200"
+
+
+def _near_dup_recall_synth(dialect: str) -> str:
+    thresh = f"100 * v.agree_cnt >= {CFG.num_perm * CFG.jaccard_threshold_pct}"
+    return f"""
+WITH _inj AS (
+  SELECT doc_id + {RECALL_ID_OFFSET} AS doc_id, concat(text, ' q7') AS text
+  FROM documents WHERE {_RECALL_SELECTOR}
+),
+_seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM _inj
+),
+{_band_cte(dialect, table="_seeded")},
+_cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM _bkt a JOIN _bkt b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+_ver AS (
+  SELECT c.a_id, c.b_id,
+         {D.sig_agreement('sa.sig', 'sb.sig', CFG.num_perm, dialect)} AS agree_cnt
+  FROM _cand c
+  JOIN _sig sa ON sa.doc_id = c.a_id
+  JOIN _sig sb ON sb.doc_id = c.b_id
+)
+SELECT i.orig_id,
+       CASE WHEN v.agree_cnt IS NOT NULL THEN 1 ELSE 0 END AS verified,
+       CAST(COALESCE(v.agree_cnt, -1) AS BIGINT) AS agree_cnt
+FROM (SELECT doc_id AS orig_id FROM documents WHERE {_RECALL_SELECTOR}) i
+LEFT JOIN _ver v
+  ON v.a_id = i.orig_id AND v.b_id = i.orig_id + {RECALL_ID_OFFSET}
+  AND {thresh}
+"""
+
+
+def _spark_near_dup_recall_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from quarrycore_spark.operators.lsh import verified_pairs
+    from quarrycore_spark.operators.signatures import with_signatures
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    eligible = docs.filter((F.col("doc_id") % 10 < 2) & (F.length("text") >= 200))
+    inj = eligible.select(
+        (F.col("doc_id") + F.lit(RECALL_ID_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" q7")).alias("text"),
+    )
+    seeded = docs.select("doc_id", "text").unionByName(inj)
+    ver = verified_pairs(with_signatures(seeded, CFG), CFG, LSH_BUCKET_CAP)
+    injected = eligible.select(F.col("doc_id").alias("orig_id"))
+    return (
+        injected.join(
+            ver,
+            (ver.a_id == injected.orig_id)
+            & (ver.b_id == injected.orig_id + F.lit(RECALL_ID_OFFSET)),
+            "left",
+        )
+        .select(
+            "orig_id",
+            F.when(F.col("agree_cnt").isNotNull(), 1).otherwise(0).alias("verified"),
+            F.coalesce(F.col("agree_cnt"), F.lit(-1)).cast("long").alias("agree_cnt"),
+        )
+    )
+
+
+register(
+    Query(
+        "near_dup_recall_synth",
+        "D6-D8 recall gate: injected near-dup copies re-found by LSH+verify",
+        _near_dup_recall_synth,
+        spark_fn=_spark_near_dup_recall_synth,
     )
 )
 

@@ -77,6 +77,16 @@ def test_lang_id_confidence_floor_and_margin(spark, tmp_path):
         # kana-free kanji-only fragment: below the ja kana floor by design,
         # must NOT be guessed as ja (falls to zh or und, the honest failure)
         (8, "完全無欠"),
+        # ko rides the char-gram tier (agglutinative: particles fuse onto
+        # words, so whole-word stopword equality would miss this sentence)
+        (9, "데이터 테이블은 순서대로 정렬되어 있습니다 그리고 키가 결합하는 것이 중요합니다"),
+        # Cyrillic family: each must out-vote its neighbours (ru/uk/bg)
+        (10, "и у току је на се да су за не као што је било"),  # sr
+        (11, "і не на у да што як гэта па ад усе было"),  # be
+        (12, "и на во не се да од за со дека тоа беше"),  # mk
+        (13, "және бұл мен бар үшін деп да бір емес болды"),  # kk
+        # ru must still win against the new sr/mk lists
+        (14, "и в не на я что с по это как было"),
     ]
     sf = str(tmp_path)
     spark.createDataFrame(rows, "doc_id long, text string").write.mode(
@@ -94,6 +104,12 @@ def test_lang_id_confidence_floor_and_margin(spark, tmp_path):
     assert out[6][0] == "zh" and out[6][1] > 0
     assert out[7][0] == "th" and out[7][1] > 0
     assert out[8][0] != "ja"
+    assert out[9][0] == "ko" and out[9][1] > 0
+    assert out[10][0] == "sr" and out[10][1] > 0
+    assert out[11][0] == "be" and out[11][1] > 0
+    assert out[12][0] == "mk" and out[12][1] > 0
+    assert out[13][0] == "kk" and out[13][1] > 0
+    assert out[14][0] == "ru" and out[14][1] > 0
 
     # dual-dialect: DuckDB oracle agrees on the same fixture
     con = duckdb.connect()

@@ -94,6 +94,21 @@ def test_exact_dup_pairs_synth_nonvacuous_at_sf001(spark):
     assert n > 0
 
 
+def test_near_dup_recall_gate_on_driver_surface(spark):
+    """VERDICT r5 #7: the >=0.99 recall gate as a driver-visible query.
+    Every injected 3-char-suffix copy must be re-found by the full
+    LSH+verify path at the 0.85 threshold, oracle-equal at both the
+    driver's sf0.01 and the smoke sf0.001."""
+    from quarrycore_spark.plans.registry import REGISTRY
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = compare_query(spark, "near_dup_recall_synth", sf)
+        rows = REGISTRY["near_dup_recall_synth"].run_spark(spark, sf).collect()
+        assert n == len(rows) > 0
+        recall = sum(r["verified"] for r in rows) / len(rows)
+        assert recall >= 0.99, (sf, recall)
+
+
 def test_release_discipline_storage_stable(spark):
     """Three consecutive full dedup-registry runs with release between them
     leave zero persisted RDDs — no storage leak in a long-lived session."""
