@@ -182,6 +182,104 @@ def doc_signature(
     return ch, sig, bands, simhash
 
 
+_MASK64 = (1 << 64) - 1
+
+# Worker-lifetime scratch buffers for the batched shingle-hash prep: the
+# three ~8 MB working arrays are allocated ONCE per Python worker (workers
+# are reused across tasks, spark.python.worker.reuse) instead of per
+# batch — after the first batch the prep touches no fresh pages at all,
+# which matters in this sandbox (first-touch faults serialize
+# machine-wide) and on any busy host (allocator contention).
+_PREP_BUFS: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    buf = _PREP_BUFS.get(name)
+    if buf is None or len(buf) < n:
+        buf = np.empty(n, dtype=dtype)
+        _PREP_BUFS[name] = buf
+    return buf[:n]
+
+
+def _prep_hashes_batch(nts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batched `_poly_shingle_hashes` over pre-normalized texts: returns
+    (hu_all, lengths) — the concatenation of each doc's SORTED-DISTINCT
+    shingle hashes plus per-doc counts, bit-identical to calling
+    `_poly_shingle_hashes` per doc (pinned by test_signature_parity).
+
+    One rolling-hash pass runs over the CONCATENATED codepoint buffer in
+    L2-sized blocks (k in-place multiply-adds per block, same uint64 wrap
+    as the per-doc path); windows spanning doc boundaries are simply
+    never copied out. Dedup is an in-place per-doc sort on views of one
+    scratch buffer + a single vectorized neighbour-compare — no per-doc
+    allocations anywhere (the per-doc path paid ~20: encode/astype/
+    zeros/7×2 loop temporaries/np.unique)."""
+    n_docs = len(nts)
+    counts = np.empty(n_docs, dtype=np.int64)
+    for j, nt in enumerate(nts):
+        counts[j] = len(nt) or 1  # empty text hashes as a single NUL
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    total = int(offs[-1])
+    big = _scratch("cp", total, np.uint64)
+    for j, nt in enumerate(nts):
+        if nt:
+            big[offs[j] : offs[j + 1]] = np.frombuffer(
+                nt.encode("utf-32-le"), dtype=np.uint32
+            )
+        else:
+            big[offs[j]] = 0
+    # rolling hash at every start position (chunked, in-place); positions
+    # within k-1 of a doc's end produce cross-doc garbage that the
+    # window-copy below never reads
+    H = _scratch("h", total, np.uint64)
+    shift33 = np.uint64(33)
+    for s0 in range(0, total, _CHUNK_ELEMS):
+        e0 = min(s0 + _CHUNK_ELEMS, total)
+        L = e0 - s0
+        hb = H[s0:e0]
+        hb[:] = 0
+        for j in range(k):
+            np.multiply(hb, _POLY_B, out=hb)
+            hi = min(s0 + j + L, total)
+            np.add(hb[: hi - s0 - j], big[s0 + j : hi], out=hb[: hi - s0 - j])
+        tmp = np.right_shift(hb, shift33)
+        np.bitwise_xor(hb, tmp, out=hb)
+        np.multiply(hb, _MIX, out=hb)
+        np.right_shift(hb, shift33, out=tmp)
+        np.bitwise_xor(hb, tmp, out=hb)
+    # copy each doc's valid windows out, sort in place, dedupe vectorized
+    wins = np.maximum(counts - (k - 1), 1)
+    woffs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(wins, out=woffs[1:])
+    W = _scratch("w", int(woffs[-1]), np.uint64)
+    for j in range(n_docs):
+        n = int(counts[j])
+        s, w0 = int(offs[j]), int(woffs[j])
+        if n >= k:
+            W[w0 : w0 + n - k + 1] = H[s : s + n - k + 1]
+            W[w0 : w0 + n - k + 1].sort()
+        else:
+            # short doc: ONE window over all n codepoints (k_eff = n) —
+            # the chunked pass above used k, so recompute exactly
+            h = 0
+            for p in range(n):
+                h = (h * int(_POLY_B) + int(big[s + p])) & _MASK64
+            h ^= h >> 33
+            h = (h * int(_MIX)) & _MASK64
+            h ^= h >> 33
+            W[w0] = h
+    keep = _scratch("k", int(woffs[-1]), np.bool_)
+    keep[:1] = True
+    np.not_equal(W[1:], W[:-1], out=keep[1:])
+    keep[woffs[:-1]] = True
+    hu_all = W[keep]  # the one fresh allocation: the output itself
+    ki = _scratch("ki", int(woffs[-1]), np.int64)
+    np.copyto(ki, keep)
+    lengths = np.add.reduceat(ki, woffs[:-1])
+    return hu_all, lengths
+
+
 def _batch_signatures_poly(
     texts: list[str], cfg: DedupConfig, a: np.ndarray, b: np.ndarray
 ) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
@@ -189,30 +287,34 @@ def _batch_signatures_poly(
     doc_signature(family='poly') (pinned by tests), but all the minhash /
     band-fold / simhash arithmetic runs as segmented numpy over the
     concatenated shingle hashes of the batch (np.minimum.reduceat /
-    np.add.reduceat), cutting per-doc Python overhead ~10×."""
+    np.add.reduceat), cutting per-doc Python overhead ~10×. The shingle
+    hashing itself is also batched (_prep_hashes_batch), so per-doc work
+    is normalize + sha256 + four light numpy calls."""
     n_docs = len(texts)
     ch = [None] * n_docs
-    seg: list[np.ndarray] = []
-    lengths = np.empty(n_docs, dtype=np.int64)
+    nts: list[str] = [None] * n_docs  # type: ignore[list-item]
+    cps = np.empty(n_docs, dtype=np.int64)
     for j, text in enumerate(texts):
         nt = normalize_text(text)
         ch[j] = hashlib.sha256(nt.encode("utf-8")).hexdigest()
-        hu = _poly_shingle_hashes(nt, cfg.shingle_size)
-        seg.append(hu)
-        lengths[j] = len(hu)
+        nts[j] = nt
+        cps[j] = len(nt) or 1
     # chunk docs so the 1-D working buffers stay <= 8 MB (glibc recycles
-    # heap blocks this size; larger blocks hit the slow mmap/fault path)
+    # heap blocks this size; larger blocks hit the slow mmap/fault path).
+    # Chunking happens BEFORE hashing (codepoint budget ~ window budget),
+    # so nothing is hashed twice — the old shape hashed the whole batch
+    # once to measure it, then re-hashed every over-budget sub-chunk.
     budget = 1_000_000
-    if lengths.sum() > budget and n_docs > 1:
+    if cps.sum() > budget and n_docs > 1:
         out_sig, out_bands, out_sim = [], [], []
         i = 0
         while i < n_docs:
             j = i
             tot = 0
-            while j < n_docs and (tot + lengths[j] <= budget or j == i):
-                tot += lengths[j]
+            while j < n_docs and (tot + cps[j] <= budget or j == i):
+                tot += cps[j]
                 j += 1
-            _, s, bd, sm = _batch_signatures_poly(texts[i:j], cfg, a, b)
+            s, bd, sm = _chunk_signatures_poly(nts[i:j], cfg, a, b)
             out_sig.append(s)
             out_bands.append(bd)
             out_sim.append(sm)
@@ -223,7 +325,17 @@ def _batch_signatures_poly(
             np.concatenate(out_bands),
             np.concatenate(out_sim),
         )
-    hu_all = np.concatenate(seg) if seg else np.empty(0, dtype=np.uint64)
+    sig, bands, sim = _chunk_signatures_poly(nts, cfg, a, b)
+    return ch, sig, bands, sim
+
+
+def _chunk_signatures_poly(
+    nts: list[str], cfg: DedupConfig, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Blocked minhash/band/simhash kernel over one ≤budget chunk of
+    pre-normalized texts."""
+    n_docs = len(nts)
+    hu_all, lengths = _prep_hashes_batch(nts, cfg.shingle_size)
     starts = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     # --- minhash + simhash: CACHE-BLOCKED passes -------------------------
@@ -278,7 +390,7 @@ def _batch_signatures_poly(
         bands[:, i] = acc
     maj = (2 * ones > lengths[:, None]).astype(np.int64)
     sim = (maj << np.arange(cfg.simhash_bits)[None, :]).sum(axis=1)
-    return ch, sig, bands, sim
+    return sig, bands, sim
 
 
 def with_signatures(

@@ -137,3 +137,33 @@ def test_batch_vs_per_doc_poly_parity():
         assert (sig == sig_b[j]).all(), j
         assert (bands == bands_b[j]).all(), j
         assert sim == sim_b[j], (j, sim, sim_b[j])
+    # worker-lifetime scratch buffers must not leak state across calls
+    ch_2, sig_2, bands_2, sim_2 = _batch_signatures_poly(texts, CFG, a, b)
+    assert ch_2 == ch_b and (sig_2 == sig_b).all()
+    assert (bands_2 == bands_b).all() and (sim_2 == sim_b).all()
+
+
+def test_batch_poly_parity_across_chunk_budget():
+    """Same parity with docs big enough to cross BOTH the 1M-codepoint
+    sub-batch budget (doc-range chunking) and many _CHUNK_ELEMS blocks
+    inside the batched rolling hash — boundary windows must still hash
+    with their own doc's codepoints."""
+    from quarrycore_spark.operators.signatures import _batch_signatures_poly
+
+    a = np.array([p[0] for p in CFG.minhash_perms], dtype=np.int64)
+    b = np.array([p[1] for p in CFG.minhash_perms], dtype=np.int64)
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(words, size=9000).tolist())  # ~54k chars each
+        for _ in range(24)
+    ]
+    texts.insert(7, "tiny")  # a short doc wedged between giants
+    texts.insert(19, "")
+    ch_b, sig_b, bands_b, sim_b = _batch_signatures_poly(texts, CFG, a, b)
+    for j in (0, 7, 8, 19, 20, len(texts) - 1):
+        ch, sig, bands, sim = doc_signature(texts[j], CFG, a, b, family="poly")
+        assert ch == ch_b[j], j
+        assert (sig == sig_b[j]).all(), j
+        assert (bands == bands_b[j]).all(), j
+        assert sim == sim_b[j], j
