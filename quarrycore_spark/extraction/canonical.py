@@ -198,6 +198,10 @@ _LINK_BLOCK_START = re.compile(r"<(ul|ol|div|section|table)\b[^>]*>", re.I)
 _ANCHOR_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
 LINK_DENSITY_MAX = 0.65
 LINK_KEEP_MIN_CHARS = 120
+# Pruning cost is sum over examined blocks of |block| — nesting makes that
+# O(depth × region). Real content regions are well under this; a
+# pathological deep-nest page skips the pass (keeps more, loses nothing).
+LINK_PRUNE_MAX_REGION = 500_000
 
 
 def _plain_len(fragment: str) -> int:
@@ -211,6 +215,8 @@ def _prune_link_dense(s: str) -> str:
     LINK_KEEP_MIN_CHARS; surviving blocks are then scanned INSIDE (the
     open tag is skipped, so nested link farms inside a kept wrapper are
     still examined independently)."""
+    if len(s) > LINK_PRUNE_MAX_REGION:
+        return s
     out = []
     i = 0
     while True:

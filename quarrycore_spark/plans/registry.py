@@ -394,7 +394,13 @@ def _spark_near_dup_recall_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" q7")).alias("text"),
     )
     seeded = docs.select("doc_id", "text").unionByName(inj)
-    ver = verified_pairs(with_signatures(seeded, CFG), CFG, LSH_BUCKET_CAP)
+    # tracked persist: verified_pairs references the signature frame four
+    # times (band explode × both self-join sides + both verify lookups);
+    # without it the MapInPandas signature pass runs 4× in the plan
+    from quarrycore_spark.operators._cache import track
+
+    sigs = track(with_signatures(seeded, CFG))
+    ver = verified_pairs(sigs, CFG, LSH_BUCKET_CAP)
     injected = eligible.select(F.col("doc_id").alias("orig_id"))
     return (
         injected.join(
