@@ -241,8 +241,12 @@ def _prep_hashes_batch(nts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
         hb[:] = 0
         for j in range(k):
             np.multiply(hb, _POLY_B, out=hb)
-            hi = min(s0 + j + L, total)
-            np.add(hb[: hi - s0 - j], big[s0 + j : hi], out=hb[: hi - s0 - j])
+            # windows reaching past `total` are cross-doc garbage never
+            # copied out, but the slice length must clamp at 0 — a
+            # negative value would wrap Python-style (hb[:-1] is NOT
+            # empty) and misalign the add
+            n_add = max(min(s0 + j + L, total) - s0 - j, 0)
+            np.add(hb[:n_add], big[s0 + j : s0 + j + n_add], out=hb[:n_add])
         tmp = np.right_shift(hb, shift33)
         np.bitwise_xor(hb, tmp, out=hb)
         np.multiply(hb, _MIX, out=hb)

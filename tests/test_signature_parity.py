@@ -143,6 +143,44 @@ def test_batch_vs_per_doc_poly_parity():
     assert (bands_2 == bands_b).all() and (sim_2 == sim_b).all()
 
 
+def test_batch_poly_parity_property():
+    """Property test: arbitrary unicode (astral chars, whitespace runs,
+    combining marks, exact-k-boundary lengths) — the batched prep must be
+    bit-identical to the per-doc path for every generated corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quarrycore_spark.operators.signatures import _batch_signatures_poly
+
+    a = np.array([p[0] for p in CFG.minhash_perms], dtype=np.int64)
+    b = np.array([p[1] for p in CFG.minhash_perms], dtype=np.int64)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-32-le", categories=("L", "N", "P", "Z", "M", "S")
+                ),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        ch_b, sig_b, bands_b, sim_b = _batch_signatures_poly(texts, CFG, a, b)
+        for j, t in enumerate(texts):
+            ch, sig, bands, sim = doc_signature(t, CFG, a, b, family="poly")
+            assert ch == ch_b[j]
+            assert (sig == sig_b[j]).all()
+            assert (bands == bands_b[j]).all()
+            assert sim == sim_b[j]
+
+    check()
+
+
 def test_batch_poly_parity_across_chunk_budget():
     """Same parity with docs big enough to cross BOTH the 1M-codepoint
     sub-batch budget (doc-range chunking) and many _CHUNK_ELEMS blocks
