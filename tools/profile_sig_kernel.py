@@ -56,14 +56,16 @@ def worker(n_docs: int, q) -> None:
     for i in range(0, len(texts), BATCH):
         chunk = texts[i : i + BATCH]
         tp = time.time()
-        # phase split mirrors _batch_signatures_poly's structure
+        # phase split mirrors _batch_signatures_poly's structure (r6:
+        # the batched prep, not the retired per-doc _poly_shingle_hashes)
         import hashlib
 
-        seg = []
+        nts = []
         for t in chunk:
             nt = S.normalize_text(t)
             hashlib.sha256(nt.encode("utf-8")).hexdigest()
-            seg.append(S._poly_shingle_hashes(nt, cfg.shingle_size))
+            nts.append(nt)
+        S._prep_hashes_batch(nts, cfg.shingle_size)
         prep += time.time() - tp
         tb = time.time()
         S._batch_signatures_poly(chunk, cfg, a, b)
