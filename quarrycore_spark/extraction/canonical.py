@@ -202,6 +202,14 @@ LINK_KEEP_MIN_CHARS = 120
 # O(depth × region). Real content regions are well under this; a
 # pathological deep-nest page skips the pass (keeps more, loses nothing).
 LINK_PRUNE_MAX_REGION = 500_000
+# Work budget on the SUM of examined-block lengths: a kept block's
+# children are re-examined (scanning resumes past its open tag), so tens
+# of thousands of nested divs would otherwise cost O(depth × region)
+# even under the region cap. When the cumulative scan exceeds this, the
+# pass bails out returning its input unchanged — identical recall
+# posture to the region cap (keeps more, loses nothing). ~10 fully
+# nested levels of a max-size region; real pages sum to < one region.
+LINK_PRUNE_WORK_BUDGET = 10 * LINK_PRUNE_MAX_REGION
 
 
 def _plain_len(fragment: str) -> int:
@@ -219,6 +227,7 @@ def _prune_link_dense(s: str) -> str:
         return s
     out = []
     i = 0
+    work = 0
     while True:
         m = _LINK_BLOCK_START.search(s, i)
         if not m:
@@ -237,6 +246,9 @@ def _prune_link_dense(s: str) -> str:
             if depth == 0:
                 end = j
         inner = s[m.end() : end]
+        work += len(inner) + 1
+        if work > LINK_PRUNE_WORK_BUDGET:
+            return s  # deep-nest pathology: skip the pass entirely
         total = _plain_len(inner)
         if total:
             link = sum(_plain_len(g) for g in _ANCHOR_TEXT.findall(inner))

@@ -192,8 +192,17 @@ _MASK64 = (1 << 64) - 1
 # machine-wide) and on any busy host (allocator contention).
 _PREP_BUFS: dict[str, np.ndarray] = {}
 
+# Codepoint budget per prep chunk (chunking splits across docs only — a
+# single doc larger than this becomes its own chunk). Also the cap on
+# CACHED scratch size: a request above it (one multi-MB outlier doc)
+# gets a transient allocation instead of permanently inflating every
+# reused worker's resident memory (ADVICE r6).
+_PREP_BUDGET = 1_000_000
+
 
 def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    if n > _PREP_BUDGET:
+        return np.empty(n, dtype=dtype)
     buf = _PREP_BUFS.get(name)
     if buf is None or len(buf) < n:
         buf = np.empty(n, dtype=dtype)
@@ -308,7 +317,7 @@ def _batch_signatures_poly(
     # Chunking happens BEFORE hashing (codepoint budget ~ window budget),
     # so nothing is hashed twice — the old shape hashed the whole batch
     # once to measure it, then re-hashed every over-budget sub-chunk.
-    budget = 1_000_000
+    budget = _PREP_BUDGET
     if cps.sum() > budget and n_docs > 1:
         out_sig, out_bands, out_sim = [], [], []
         i = 0

@@ -134,16 +134,26 @@ def main() -> None:
             },
         )
 
+    degraded = False
     try:
         spark = _build_session(extra_jvm)
     except Exception:
         if not extra_jvm:
             raise
         # JVM refused the pre-sized heap (host shrank between the probe
-        # and launch) — retry without pre-touch rather than dying.
-        print("# pretouch JVM launch failed; retrying without -Xms",
-              file=sys.stderr)
-        spark = _build_session("")
+        # and launch) — retry WITHOUT the -Xms/pre-touch flags only.
+        # -XX:ActiveProcessorCount stays: dropping it would hand the leg
+        # host-sized GC/JIT pools, the exact non-scaling bias APC removes
+        # (ADVICE r6). The emitted JSON carries degraded=true so the
+        # record shows the config fell back.
+        retry_jvm = " ".join(
+            opt for opt in extra_jvm.split()
+            if not (opt.startswith("-Xms") or opt == "-XX:+AlwaysPreTouch")
+        )
+        print("# pretouch JVM launch failed; retrying without -Xms "
+              f"(keeping: {retry_jvm or 'none'})", file=sys.stderr)
+        spark = _build_session(retry_jvm)
+        degraded = True
     ensure_py_files(spark)
     if warmup_path is not None:
         wout = tempfile.mkdtemp(prefix=f"qc_warm_{cores}_")
@@ -185,7 +195,7 @@ def main() -> None:
     print(json.dumps({"cores": cores, "docs": n, "wall_s": round(wall, 3),
                       "docs_per_sec": round(n / wall, 2), "stages": stages,
                       "steal_s": round(_cpu_steal_s() - steal0, 1),
-                      "load1": load1}))
+                      "load1": load1, "degraded": degraded}))
 
 
 if __name__ == "__main__":

@@ -203,9 +203,9 @@ register(
 )
 
 # ds_* queries have oracle-only SQL (_slot raises for SPARK) — their Spark
-# side MUST come from spark_fn. Enforced at import so Query.run_spark can
-# never reach the SQL branch.
+# side MUST come from spark_fn. Enforced at import (explicit raise, not
+# assert, so `python -O` can't compile the guard away) so Query.run_spark
+# can never reach the SQL branch.
 for _name in ("ds_minhash_signatures", "ds_band_hashes"):
-    assert REGISTRY[_name].spark_fn is not None, (
-        f"{_name} requires spark_fn: its SQL is DuckDB-only"
-    )
+    if REGISTRY[_name].spark_fn is None:
+        raise RuntimeError(f"{_name} requires spark_fn: its SQL is DuckDB-only")

@@ -336,22 +336,27 @@ register(
 # >=0.99 recall gate (previously pytest-only) part of the driver's
 # CORRECTNESS record. Same synthesis device as exact_dup_pairs_synth:
 # docs with doc_id % 10 < 2 AND length(text) >= 200 get a copy at
-# doc_id + RECALL_ID_OFFSET with a 3-char suffix appended — a true
+# doc_id + offset with a 3-char suffix appended — a true
 # near-duplicate (shingle-Jaccard ~0.95+ at the 200-char floor; shorter
 # docs are excluded because a 3-char edit honestly drops them below the
 # 0.85 threshold, which would test the corpus, not the operator). The
 # full md5-family LSH+verify path runs over base+copies in BOTH
 # dialects; output is one row per injected pair with its verified flag
 # and agreement count, so the value hash pins recall bit-for-bit.
-RECALL_ID_OFFSET = 1_000_000
+# The injected-id offset is derived as max(doc_id)+1 in BOTH dialects
+# (scalar-subquery / single-row aggregate) so corpora with >=1M docs or
+# sparse doc_ids can never collide injected ids with real ones
+# (ADVICE r6). The offset never appears in the output columns, so the
+# value hash is unaffected by its actual magnitude.
 _RECALL_SELECTOR = "doc_id % 10 < 2 AND length(text) >= 200"
+_RECALL_OFF_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
 
 
 def _near_dup_recall_synth(dialect: str) -> str:
     thresh = f"100 * v.agree_cnt >= {CFG.num_perm * CFG.jaccard_threshold_pct}"
     return f"""
 WITH _inj AS (
-  SELECT doc_id + {RECALL_ID_OFFSET} AS doc_id, concat(text, ' q7') AS text
+  SELECT doc_id + {_RECALL_OFF_SQL} AS doc_id, concat(text, ' q7') AS text
   FROM documents WHERE {_RECALL_SELECTOR}
 ),
 _seeded AS (
@@ -376,21 +381,30 @@ SELECT i.orig_id,
        CAST(COALESCE(v.agree_cnt, -1) AS BIGINT) AS agree_cnt
 FROM (SELECT doc_id AS orig_id FROM documents WHERE {_RECALL_SELECTOR}) i
 LEFT JOIN _ver v
-  ON v.a_id = i.orig_id AND v.b_id = i.orig_id + {RECALL_ID_OFFSET}
+  ON v.a_id = i.orig_id AND v.b_id = i.orig_id + {_RECALL_OFF_SQL}
   AND {thresh}
 """
 
 
 def _spark_near_dup_recall_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOTE: signatures are INTENTIONALLY re-derived from the seeded corpus
+    here rather than reused from `_sigs()`/run_pipeline's cached frame —
+    the oracle must see the identical standalone computation over
+    base+injected docs. Do not "optimize" this to share the pipeline's
+    signature frame: that would silently couple the recall gate to
+    pipeline internals (and the cached frame lacks the injected rows)."""
     from pyspark.sql import functions as F
 
     from quarrycore_spark.operators.lsh import verified_pairs
     from quarrycore_spark.operators.signatures import with_signatures
 
     docs = load(spark, sf_dir, "documents")["documents"]
+    # single-row aggregate (bounded collect) mirroring the oracle's
+    # scalar subquery: injected ids start past the real id range
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
     eligible = docs.filter((F.col("doc_id") % 10 < 2) & (F.length("text") >= 200))
     inj = eligible.select(
-        (F.col("doc_id") + F.lit(RECALL_ID_OFFSET)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" q7")).alias("text"),
     )
     seeded = docs.select("doc_id", "text").unionByName(inj)
@@ -406,7 +420,7 @@ def _spark_near_dup_recall_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         injected.join(
             ver,
             (ver.a_id == injected.orig_id)
-            & (ver.b_id == injected.orig_id + F.lit(RECALL_ID_OFFSET)),
+            & (ver.b_id == injected.orig_id + F.lit(offset)),
             "left",
         )
         .select(
