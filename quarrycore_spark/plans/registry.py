@@ -834,7 +834,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Registration side-effect modules (import at bottom to avoid cycles).
-from quarrycore_spark.plans import dsops, mediaops, metaops, structops, textops, vectorops  # noqa: E402,F401
+from quarrycore_spark.plans import (  # noqa: E402,F401
+    dsops,
+    mediaops,
+    metaextract,
+    metaops,
+    structops,
+    textops,
+    vectorops,
+)
 
 
 def oracles() -> dict[str, str]:
