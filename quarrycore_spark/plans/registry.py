@@ -447,9 +447,9 @@ register(
 # ---------------------------------------------------------------------------
 
 
-def _simhash_prelude(dialect: str) -> str:
+def _simhash_prelude(dialect: str, table: str = "documents") -> str:
     return (
-        f"{P.doc_norm(dialect, CFG)},\n{P.doc_shingles(dialect, CFG)},\n"
+        f"{P.doc_norm(dialect, CFG, table=table)},\n{P.doc_shingles(dialect, CFG)},\n"
         f"{P.doc_hashes60(dialect, CFG)},\n"
         f"_sim AS (SELECT doc_id, {D.simhash('h60s', CFG, dialect)} AS simhash FROM _h60)"
     )
@@ -473,15 +473,15 @@ register(
 )
 
 
-def _simhash_pairs_sql(dialect: str) -> str:
+def _simhash_band_ctes(dialect: str) -> str:
+    """The pigeonhole band/cap/candidate CTE chain over `_sim` — shared by
+    `simhash_pairs` and the injected-copy recall gate so the recall query
+    exercises the IDENTICAL banded path."""
     width = CFG.simhash_bits // CFG.simhash_bands
     mask = (1 << width) - 1
     bands = ", ".join(f"(simhash >> {i * width}) & {mask}" for i in range(CFG.simhash_bands))
     bands_arr = f"array({bands})" if dialect == SPARK else f"[{bands}]"
-    ham = D.bit_count(D.xor("a.sim_a", "b.sim_a", dialect), dialect)
-    return f"""
-WITH {_simhash_prelude(dialect)},
-_bx AS (
+    return f"""_bx AS (
   SELECT doc_id, simhash AS sim_a,
          {D.posexplode(bands_arr, 'band_idx', 'band_val', dialect)}
   FROM _sim
@@ -500,7 +500,13 @@ _cand AS (
   FROM _bkt a JOIN _bkt b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _simhash_pairs_sql(dialect: str) -> str:
+    return f"""
+WITH {_simhash_prelude(dialect)},
+{_simhash_band_ctes(dialect)}
 SELECT a_id, b_id, {D.bit_count(D.xor('sim_a', 'sim_b', dialect), dialect)} AS hamming
 FROM _cand
 WHERE {D.bit_count(D.xor('sim_a', 'sim_b', dialect), dialect)} <= {CFG.hamming_max}
@@ -519,6 +525,101 @@ register(
         "D10/D12: SimHash Hamming<=3 pair detection via pigeonhole bands",
         _simhash_pairs_sql,
         spark_fn=_spark_simhash_pairs,
+    )
+)
+
+
+# SimHash blocking-recall gate (VERDICT r6 #3, mirror of
+# near_dup_recall_synth): docs with doc_id % 10 >= 8 AND length >= 200 get
+# a copy with a 1-char '.' suffix at offset max(doc_id)+1. The full banded
+# pair path runs over base+copies in BOTH dialects; output is one row per
+# injected pair with its TRUE pairwise Hamming distance and whether the
+# banded path re-found it. The pigeonhole guarantee (4 bands × 15 bits,
+# hamming_max 3 → at least one band untouched) means found == 1 exactly
+# when true_ham <= 3 and the pair's buckets stay within the 2..cap window
+# — the driver hash pins stage-level blocking recall bit-for-bit. Pairs
+# with true_ham > 3 honestly stay found=0 (that tests the threshold, not
+# a miss: a 1-char edit on a short doc can legitimately flip > 3 bits).
+_SIMHASH_RECALL_SELECTOR = "doc_id % 10 >= 8 AND length(text) >= 200"
+
+
+def _simhash_recall_synth(dialect: str) -> str:
+    return f"""
+WITH _inj AS (
+  SELECT doc_id + {_RECALL_OFF_SQL} AS doc_id, text || '.' AS text
+  FROM documents WHERE {_SIMHASH_RECALL_SELECTOR}
+),
+_seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM _inj
+),
+{_simhash_prelude(dialect, table="_seeded")},
+{_simhash_band_ctes(dialect)},
+_pairs AS (
+  SELECT a_id, b_id,
+         {D.bit_count(D.xor('sim_a', 'sim_b', dialect), dialect)} AS hamming
+  FROM _cand
+  WHERE {D.bit_count(D.xor('sim_a', 'sim_b', dialect), dialect)} <= {CFG.hamming_max}
+)
+SELECT i.orig_id,
+       {D.bit_count(D.xor('sa.simhash', 'sb.simhash', dialect), dialect)} AS true_ham,
+       CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END AS found
+FROM (SELECT doc_id AS orig_id FROM documents WHERE {_SIMHASH_RECALL_SELECTOR}) i
+JOIN _sim sa ON sa.doc_id = i.orig_id
+JOIN _sim sb ON sb.doc_id = i.orig_id + {_RECALL_OFF_SQL}
+LEFT JOIN _pairs p
+  ON p.a_id = i.orig_id AND p.b_id = i.orig_id + {_RECALL_OFF_SQL}
+"""
+
+
+def _spark_simhash_recall_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures are intentionally re-derived from the seeded corpus (see
+    _spark_near_dup_recall_synth's note — the oracle must see the identical
+    standalone computation, and the cached frame lacks the injected rows)."""
+    from pyspark.sql import functions as F
+
+    from quarrycore_spark.operators._cache import track
+    from quarrycore_spark.operators.signatures import with_signatures
+    from quarrycore_spark.operators.simhash import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
+    eligible = docs.filter((F.col("doc_id") % 10 >= 8) & (F.length("text") >= 200))
+    inj = eligible.select(
+        (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(".")).alias("text"),
+    )
+    seeded = docs.select("doc_id", "text").unionByName(inj)
+    sigs = track(with_signatures(seeded, CFG))
+    pairs = simhash_pairs(sigs, CFG, LSH_BUCKET_CAP)
+    sa = sigs.select(F.col("doc_id").alias("orig_id"), F.col("simhash").alias("sim_a"))
+    sb = sigs.filter(F.col("doc_id") >= offset).select(
+        (F.col("doc_id") - F.lit(offset)).alias("orig_id"),
+        F.col("simhash").alias("sim_b"),
+    )
+    base = sa.join(sb, "orig_id")
+    return (
+        base.join(
+            pairs,
+            (pairs.a_id == base.orig_id) & (pairs.b_id == base.orig_id + F.lit(offset)),
+            "left",
+        )
+        .select(
+            "orig_id",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("long").alias("true_ham"),
+            F.when(F.col("a_id").isNotNull(), 1).otherwise(0).alias("found"),
+        )
+    )
+
+
+register(
+    Query(
+        "simhash_recall_synth",
+        "D10 recall gate: injected 1-char-suffix copies re-found by the "
+        "banded SimHash path iff true Hamming <= 3 (pigeonhole)",
+        _simhash_recall_synth,
+        spark_fn=_spark_simhash_recall_synth,
     )
 )
 
@@ -571,6 +672,105 @@ register(
         "D13: common-substring(>=L) pair detection via L-gram join",
         _substring_pairs_sql,
         spark_fn=_spark_substring_pairs,
+    )
+)
+
+
+# Substring/containment-recall gate (VERDICT r6 #3): docs with
+# doc_id % 10 IN (4, 5) AND length >= 240 get a copy whose text is the raw
+# 160-char slice substr(text, 41, 160) at offset max(doc_id)+1 — a true
+# containment pair (the slice's normalized form shares >= 160-2·L full
+# L-grams with the original, far above the >= 1 detection floor). The full
+# L-gram path (normalize → distinct gram hashes → 2..cap bucket join) runs
+# over base+copies in BOTH dialects; output is one row per injected pair
+# with found flag + shared-gram count, so the driver hash pins stage-level
+# containment recall (expected: found = 1 for every injected pair).
+_SUBSTR_RECALL_SELECTOR = "doc_id % 10 IN (4, 5) AND length(text) >= 240"
+
+
+def _substring_recall_synth(dialect: str) -> str:
+    if dialect == SPARK:
+        grams = (
+            f"case when length(nt) < {SUBSTR_L} then array({D.hex_int('nt', 15, dialect)}) "
+            f"else array_distinct(transform(sequence(0, length(nt) - {SUBSTR_L}), "
+            f"i -> {D.hex_int(f'substring(nt, i + 1, {SUBSTR_L})', 15, dialect)})) end"
+        )
+        explode = "explode(grams) AS g"
+    else:
+        grams = (
+            f"case when length(nt) < {SUBSTR_L} then [{D.hex_int('nt', 15, dialect)}] "
+            f"else list_distinct(list_transform(range(0, length(nt) - {SUBSTR_L} + 1), "
+            f"i -> {D.hex_int(f'substr(nt, i + 1, {SUBSTR_L})', 15, dialect)})) end"
+        )
+        explode = "unnest(grams) AS g"
+    return f"""
+WITH _inj AS (
+  SELECT doc_id + {_RECALL_OFF_SQL} AS doc_id, substr(text, 41, 160) AS text
+  FROM documents WHERE {_SUBSTR_RECALL_SELECTOR}
+),
+_seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM _inj
+),
+{P.doc_norm(dialect, CFG, table="_seeded")},
+_g AS (SELECT doc_id, {grams} AS grams FROM _docs),
+_gx AS (SELECT doc_id, {explode} FROM _g),
+_cap AS (SELECT g FROM _gx GROUP BY g HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}),
+_gk AS (SELECT x.doc_id, x.g FROM _gx x JOIN _cap c ON x.g = c.g),
+_pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_grams
+  FROM _gk a JOIN _gk b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.orig_id,
+       CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END AS found,
+       CAST(COALESCE(p.shared_grams, 0) AS BIGINT) AS shared_grams
+FROM (SELECT doc_id AS orig_id FROM documents WHERE {_SUBSTR_RECALL_SELECTOR}) i
+LEFT JOIN _pairs p
+  ON p.a_id = i.orig_id AND p.b_id = i.orig_id + {_RECALL_OFF_SQL}
+"""
+
+
+def _spark_substring_recall_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from quarrycore_spark.operators.substring import gram_doc_pairs
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
+    eligible = docs.filter(
+        (F.col("doc_id") % 10).isin(4, 5) & (F.length("text") >= 240)
+    )
+    inj = eligible.select(
+        (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
+        F.substring("text", 41, 160).alias("text"),
+    )
+    seeded = docs.select("doc_id", "text").unionByName(inj)
+    pairs = gram_doc_pairs(seeded, SUBSTR_L, cap=LSH_BUCKET_CAP)
+    injected = eligible.select(F.col("doc_id").alias("orig_id"))
+    return (
+        injected.join(
+            pairs,
+            (pairs.a_id == injected.orig_id)
+            & (pairs.b_id == injected.orig_id + F.lit(offset)),
+            "left",
+        )
+        .select(
+            "orig_id",
+            F.when(F.col("a_id").isNotNull(), 1).otherwise(0).alias("found"),
+            F.coalesce(F.col("shared_grams"), F.lit(0)).cast("long")
+            .alias("shared_grams"),
+        )
+    )
+
+
+register(
+    Query(
+        "substring_recall_synth",
+        "D13 recall gate: injected 160-char-slice containment pairs "
+        "re-found by the L-gram path",
+        _substring_recall_synth,
+        spark_fn=_spark_substring_recall_synth,
     )
 )
 
