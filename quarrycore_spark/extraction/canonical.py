@@ -198,6 +198,17 @@ _LINK_BLOCK_START = re.compile(r"<(ul|ol|div|section|table)\b[^>]*>", re.I)
 _ANCHOR_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
 LINK_DENSITY_MAX = 0.65
 LINK_KEEP_MIN_CHARS = 120
+# Text-density floor — favor_precision's other half (the chars-per-tag
+# block scoring trafilatura applies alongside link density): a block that
+# averages fewer than TEXT_DENSITY_MIN_CPT plain chars per markup tag is
+# widget furniture (rating grids, icon strips, spec chips) even with zero
+# anchors, PROVIDED it is small (< TEXT_DENSITY_KEEP_MIN plain chars —
+# real prose in a heavily-marked-up container always clears this) and
+# actually marked up (>= TEXT_DENSITY_MIN_TAGS tags — a short bare <div>
+# caption is not a widget).
+TEXT_DENSITY_MIN_CPT = 8
+TEXT_DENSITY_KEEP_MIN = 120
+TEXT_DENSITY_MIN_TAGS = 4
 # Pruning cost is sum over examined blocks of |block| — nesting makes that
 # O(depth × region). Real content regions are well under this; a
 # pathological deep-nest page skips the pass (keeps more, loses nothing).
@@ -217,12 +228,20 @@ def _plain_len(fragment: str) -> int:
 
 
 def _prune_link_dense(s: str) -> str:
-    """`s` with every link-dense block removed (balanced-tag walk, same
-    machinery as `_remove_balanced_blocks`). A block survives when its
-    anchor-text share < LINK_DENSITY_MAX or its non-anchor text >=
-    LINK_KEEP_MIN_CHARS; surviving blocks are then scanned INSIDE (the
-    open tag is skipped, so nested link farms inside a kept wrapper are
-    still examined independently)."""
+    """`s` with every low-value block removed (balanced-tag walk, same
+    machinery as `_remove_balanced_blocks`) — two favor_precision
+    predicates in one pass:
+
+    * link density: a block is pruned when its anchor-text share >=
+      LINK_DENSITY_MAX and its non-anchor text < LINK_KEEP_MIN_CHARS;
+    * text density: a SMALL block (< TEXT_DENSITY_KEEP_MIN plain chars)
+      with >= TEXT_DENSITY_MIN_TAGS tags averaging < TEXT_DENSITY_MIN_CPT
+      plain chars per tag is pruned even with zero anchors (unclassed
+      rating widgets / icon strips the link pass can't see).
+
+    Surviving blocks are then scanned INSIDE (the open tag is skipped, so
+    nested furniture inside a kept wrapper is still examined
+    independently)."""
     if len(s) > LINK_PRUNE_MAX_REGION:
         return s
     out = []
@@ -250,13 +269,21 @@ def _prune_link_dense(s: str) -> str:
         if work > LINK_PRUNE_WORK_BUDGET:
             return s  # deep-nest pathology: skip the pass entirely
         total = _plain_len(inner)
+        prune = False
         if total:
             link = sum(_plain_len(g) for g in _ANCHOR_TEXT.findall(inner))
             link = min(link, total)  # nested-anchor safety
-            if link / total >= LINK_DENSITY_MAX and total - link < LINK_KEEP_MIN_CHARS:
-                out.append(s[i : m.start()])
-                i = end  # prune: drop the whole block
-                continue
+            prune = (
+                link / total >= LINK_DENSITY_MAX
+                and total - link < LINK_KEEP_MIN_CHARS
+            )
+        if not prune and total < TEXT_DENSITY_KEEP_MIN:
+            n_tags = len(_TAG.findall(inner))
+            prune = n_tags >= TEXT_DENSITY_MIN_TAGS and total < TEXT_DENSITY_MIN_CPT * n_tags
+        if prune:
+            out.append(s[i : m.start()])
+            i = end  # prune: drop the whole block
+            continue
         # keep: emit the open tag, keep scanning inside the block
         out.append(s[i : m.end()])
         i = m.end()

@@ -477,8 +477,48 @@ def test_unclassed_readmore_rail_pruned_inline_link_kept():
     assert "Read more" not in got and "Parking reform" not in got
 
 
+# --- pages whose furniture has NO chrome class AND no links ----------------
+# Only the text-density pass (favor_precision's chars-per-tag scoring,
+# round 7) can remove these: unclassed anchor-free widget markup INSIDE
+# the declared content region.
+
+_RATING_PAGE = b"""<body><article>
+<h1>Thermal paste shootout</h1>
+<p>We tested eleven compounds across three coolers; spread pattern mattered
+more than brand, and the bundled spatulas were uniformly terrible.</p>
+<div><span>4.6</span><span>stars</span><span>231 ratings</span>
+<span>92%</span><span>recommend</span></div>
+<p>Verdict: buy the cheap tube, apply a thin X, stop worrying.</p>
+</article></body>"""
+
+
+def test_unclassed_rating_widget_pruned():
+    got = extract_selector_text(_RATING_PAGE)
+    assert got.startswith("Thermal paste shootout")
+    assert "231 ratings" not in got and "recommend" not in got
+    assert "buy the cheap tube" in got
+
+
+_SPECCHIP_PAGE = b"""<body><main>
+<h1>Trailhead report: North Ridge</h1>
+<p>The upper switchbacks reopened after the washout repair, and the creek
+crossing is once again passable without wading gear.</p>
+<ul><li>12.4 km</li><li>870 m</li><li>Loop</li><li>Dogs OK</li></ul>
+<p>Snow lingers above the saddle; microspikes recommended until June.</p>
+</main></body>"""
+
+
+def test_unclassed_spec_chips_pruned_prose_kept():
+    got = extract_selector_text(_SPECCHIP_PAGE)
+    assert got.startswith("Trailhead report: North Ridge")
+    assert "Dogs OK" not in got and "12.4 km" not in got
+    assert "microspikes recommended" in got
+
+
 def _fixture_corpus():
     return [
+        (_RATING_PAGE, "Thermal paste shootout"),
+        (_SPECCHIP_PAGE, "Trailhead report: North Ridge"),
         (_TAGCLOUD_PAGE, "Rail freight rebounds"),
         (_READMORE_PAGE, "City approves bike lanes"),
         (_BOILERPLATE_PAGE, "The Widget 3000 reviewed"),
@@ -509,9 +549,11 @@ def test_selector_precision_metric_on_fixture_corpus():
                "ADVERTISEMENT", "Up next", "See also", "$1/week",
                "Daily digest", "Random",
                # unclassed furniture only the link-density pass catches
-               "Dockworkers", "Read more")
+               "Dockworkers", "Read more",
+               # anchor-free widget markup only the TEXT-density pass catches
+               "231 ratings", "Dogs OK")
     fixtures = _fixture_corpus()
-    assert len(fixtures) >= 14  # round-4 set ×3, +2 density-only fixtures
+    assert len(fixtures) >= 16  # round-4 set ×3, +2 link-density, +2 text-density
     sel_noise = strict_noise = 0
     for page, opening in fixtures:
         sel = extract_selector_text(page)
