@@ -148,6 +148,19 @@ def _emit() -> None:
 
 
 def _write_detail() -> None:
+    # fold in the 10x-scale pair-family probe (tools/scale_probe.py,
+    # VERDICT r6 #6) when its side file exists — the probe runs out of
+    # band (it is minutes of work that would blow the bench budget) but
+    # its walls/rows/shuffle-bytes evidence belongs in the round's detail
+    try:
+        probe_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE_PROBE.json"
+        )
+        if os.path.exists(probe_path):
+            with open(probe_path) as f:
+                DETAIL["scale_probe"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     try:
         with open(DETAIL_PATH, "w") as f:
             json.dump(DETAIL, f, indent=1)
