@@ -94,6 +94,8 @@ HEADLINE = [
     "content_metrics",
     "media_phash_pairs",
     "doc_link_stats",
+    "page_metadata",
+    "dom_stats",
     "source_dedup_stats",
     "event_props_metadata",
     "stratified_sample",

@@ -132,6 +132,69 @@ def parse_json_ld(s: str) -> list[dict]:
     return out
 
 
+_ITEMSCOPE_TAG = re.compile(r"<(\w+)\b[^>]*\bitemscope\b[^>]*>", re.I)
+_ITEMPROP_TAG = re.compile(r"<(\w+)\b[^>]*\bitemprop\s*=[^>]*>", re.I)
+_TAG_CONTENT = re.compile(r">([^<]*)<")
+
+
+def parse_microdata(s: str) -> dict[str, dict[str, str]]:
+    """{itemtype: {prop: value}} for every itemscope element — reference
+    SchemaOrgParser.parse_microdata (structured_data_parser.py:157-202):
+    value source per tag is meta→content, time→datetime else text,
+    img→src, a→href else text, anything else its text. Like the
+    reference, later items of the same itemtype overwrite earlier ones
+    and props of nested scopes are collected by the enclosing scope too
+    (find_all is subtree-recursive there)."""
+    out: dict[str, dict[str, str]] = {}
+    for scope_m in _ITEMSCOPE_TAG.finditer(s):
+        a = _attrs(scope_m.group(0))
+        itemtype = a.get("itemtype", "")
+        if not itemtype:
+            continue
+        # balanced extent of the scope element
+        tagname = scope_m.group(1)
+        tagre = re.compile(rf"<(/?){re.escape(tagname)}\b[^>]*>", re.I)
+        depth, j, end = 1, scope_m.end(), len(s)
+        while depth:
+            m2 = tagre.search(s, j)
+            if not m2:
+                break
+            depth += -1 if m2.group(1) else 1
+            j = m2.end()
+            if depth == 0:
+                end = m2.start()
+        inner = s[scope_m.end():end]
+        props: dict[str, str] = {}
+        for pm in _ITEMPROP_TAG.finditer(inner):
+            pa = _attrs(pm.group(0))
+            name = pa.get("itemprop")
+            if not name:
+                continue
+            tag = pm.group(1).lower()
+            if tag == "meta":
+                value = pa.get("content", "")
+            elif tag == "time":
+                value = pa.get("datetime") or _text_after(inner, pm.end())
+            elif tag == "img":
+                value = pa.get("src", "")
+            elif tag == "a":
+                value = pa.get("href") or _text_after(inner, pm.end())
+            else:
+                value = _text_after(inner, pm.end())
+            if value:
+                props[name] = value.strip()
+        if props:
+            out[itemtype] = props
+    return out
+
+
+def _text_after(s: str, pos: int) -> str:
+    """Text content immediately following an open tag at `pos` (the regex
+    analogue of get_text(strip=True) for simple leaf elements)."""
+    m = re.compile(r"([^<]*)").match(s, pos)
+    return _clean(m.group(1)) if m else ""
+
+
 def extract_structured_data(raw: bytes | str, base_url: str = "") -> dict:
     """One pass over the page's meta/link/script tags → the reference's
     StructuredDataResult field set (flat dict, absent fields missing).
@@ -180,6 +243,12 @@ def extract_structured_data(raw: bytes | str, base_url: str = "") -> dict:
         t = _clean(m.group(1))
         if t:
             out["meta_title"] = t
+
+    micro = parse_microdata(stripped)
+    if micro:
+        out["raw_microdata"] = micro
+        out["microdata_type"] = next(iter(micro))
+        out["n_microdata_props"] = sum(len(p) for p in micro.values())
 
     for tag_m in _LINK_TAG.finditer(stripped):
         a = _attrs(tag_m.group(0))
@@ -510,13 +579,14 @@ _STRING_COLS = (
     "schema_type", "schema_title", "schema_description", "schema_author",
     "schema_date_published", "schema_date_modified", "schema_publisher",
     "meta_title", "meta_description", "meta_keywords", "meta_author",
-    "meta_robots", "canonical_url",
+    "meta_robots", "canonical_url", "microdata_type",
     "published_date", "date_method", "author", "author_method",
 )
 PAGE_METADATA_SCHEMA = (
     "url string, "
     + ", ".join(f"{c} string" for c in _STRING_COLS)
     + ", date_confidence_pct int, author_confidence_pct int, n_authors int"
+    + ", n_microdata_props int"
 )
 
 
@@ -539,6 +609,7 @@ def page_metadata_row(url: str, html: bytes | str, text: str = "") -> dict:
     else:
         row["author_confidence_pct"] = None
     row["n_authors"] = len(authors)
+    row["n_microdata_props"] = sd.get("n_microdata_props", 0)
     return row
 
 
@@ -550,14 +621,16 @@ def with_page_metadata(pages: DataFrame) -> DataFrame:
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", *list(_STRING_COLS),
-                "date_confidence_pct", "author_confidence_pct", "n_authors"]
+                "date_confidence_pct", "author_confidence_pct", "n_authors",
+                "n_microdata_props"]
         for pdf in batches:
             rows = [
                 page_metadata_row(u, h)
                 for u, h in zip(pdf["url"], pdf["html"])
             ]
             out = pd.DataFrame(rows, columns=cols)
-            for ic in ("date_confidence_pct", "author_confidence_pct", "n_authors"):
+            for ic in ("date_confidence_pct", "author_confidence_pct",
+                       "n_authors", "n_microdata_props"):
                 out[ic] = out[ic].astype("Int32")
             yield out
 

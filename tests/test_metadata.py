@@ -131,6 +131,45 @@ class TestStructuredData:
         assert len(parse_json_ld(page.decode())) == 2
 
 
+class TestMicrodata:
+    PAGE = b"""<html><body>
+    <div itemscope itemtype="https://schema.org/Product">
+      <span itemprop="name">Widget 3000</span>
+      <meta itemprop="sku" content="W3K-01">
+      <img itemprop="image" src="/w.png">
+      <a itemprop="url" href="/widget">details</a>
+      <time itemprop="releaseDate" datetime="2021-04-01">April</time>
+    </div>
+    <div itemscope itemtype="https://schema.org/Review">
+      <span itemprop="reviewBody">Solid.</span>
+    </div>
+    </body></html>"""
+
+    def test_value_source_per_tag(self):
+        from quarrycore_spark.extraction.metadata import parse_microdata
+
+        md = parse_microdata(self.PAGE.decode())
+        prod = md["https://schema.org/Product"]
+        assert prod["name"] == "Widget 3000"  # span -> text
+        assert prod["sku"] == "W3K-01"  # meta -> content
+        assert prod["image"] == "/w.png"  # img -> src
+        assert prod["url"] == "/widget"  # a -> href
+        assert prod["releaseDate"] == "2021-04-01"  # time -> datetime
+        assert md["https://schema.org/Review"]["reviewBody"] == "Solid."
+
+    def test_surface_fields(self):
+        sd = extract_structured_data(self.PAGE)
+        assert sd["microdata_type"] == "https://schema.org/Product"
+        assert sd["n_microdata_props"] == 6
+        row = page_metadata_row("", self.PAGE)
+        assert row["microdata_type"] == "https://schema.org/Product"
+        assert row["n_microdata_props"] == 6
+
+    def test_no_microdata(self):
+        assert "microdata_type" not in extract_structured_data(b"<html></html>")
+        assert page_metadata_row("", b"<html></html>")["n_microdata_props"] == 0
+
+
 class TestDateCascade:
     def test_structured_beats_meta(self):
         got = extract_publication_date(FULL_PAGE, url="https://ex.com/2019/11/03/p/")
