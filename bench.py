@@ -96,6 +96,9 @@ HEADLINE = [
     "doc_link_stats",
     "page_metadata",
     "dom_stats",
+    "pii_scan",
+    "domain_classify",
+    "medical_entities",
     "source_dedup_stats",
     "event_props_metadata",
     "stratified_sample",

@@ -1035,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registration side-effect modules (import at bottom to avoid cycles).
 from quarrycore_spark.plans import (  # noqa: E402,F401
+    classify,
     domops,
     dsops,
     mediaops,
