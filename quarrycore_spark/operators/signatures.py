@@ -448,7 +448,7 @@ def with_signatures(
                     )
             if _klog:
                 with open(f"{_klog}.sig.{_os.getpid()}", "a") as f:
-                    f.write(f"{n} {_time.time() - _t0:.4f}\n")
+                    f.write(f"{n} {_time.time() - _t0:.4f} {_t0:.4f}\n")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

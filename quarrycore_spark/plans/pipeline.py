@@ -297,9 +297,27 @@ def run_pipeline(
     # ---- stage 3: signatures on exact survivors (D4-D7, D10) ------------
     # short-circuit semantics of the reference (hybrid_dedup.py:146-171):
     # near-dup detection only runs on docs that survived the exact layer.
+    #
+    # Join shape matters here: the id side is doc_id only, the probe side
+    # carries the full text into a CPU-dense kernel. Left to stats,
+    # Catalyst plans a sort-merge join (both sides look scan-sized), which
+    # (a) exchanges every byte of text and (b) lets AQE coalesce the
+    # post-shuffle partitions by BYTES — measured on the 4-core scaling
+    # leg as 4 fat partitions of [3,2,2,1]x40k docs, turning the
+    # signatures stage into a one-wave straggler (slowest worker 95 s,
+    # fastest idle after 33 s). Broadcasting the id side keeps the probe
+    # side on the extraction parquet's balanced scan partitioning and
+    # ships zero text. The hint is gated on the extraction stage's actual
+    # row count (manifest/Observation) so it stays honest at scale: past
+    # ~20M survivors (~160 MB of ids) the hint is withheld and the join
+    # falls back to the co-partitioned sort-merge shape a 10^12-doc run
+    # needs.
+    survivor_ids = docs.filter("is_exact_canonical").select("doc_id")
+    _ext_rows = man["stages"].get("extracted", {}).get("rows")
+    if _ext_rows is not None and _ext_rows <= 20_000_000:
+        survivor_ids = F.broadcast(survivor_ids)
     survivors = (
-        docs.filter("is_exact_canonical")
-        .select("doc_id")
+        survivor_ids
         .join(extracted.select("doc_id", "extracted_text"), "doc_id")
         .select("doc_id", F.col("extracted_text").alias("text"))
     )

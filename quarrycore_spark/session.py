@@ -14,6 +14,38 @@ from pyspark.sql import SparkSession
 
 _PYFILES_SENT: set = set()
 
+# Allocator tuning for the Python workers (the signature/extraction hot
+# path). The per-batch work frees almost everything it allocates; with
+# default settings that memory is returned to the OS (pymalloc unmaps
+# empty 1 MB arenas, glibc trims the heap and mmaps blocks > 128 KB) and
+# the NEXT batch page-faults it straight back in. On this sandbox the
+# fault handler is machine-wide serialized, so that churn is a
+# non-scaling cost: measured with tools/profile_sig_kernel.py, the prep
+# phase scales 1->4 procs at 0.47 with default allocators and 0.87 with
+# these settings (whole kernel 0.85 -> 0.97), at unchanged 1-proc wall.
+# On a production cluster the same settings are standard "keep the heap"
+# tuning: they trade peak-RSS retention for zero munmap/fault round
+# trips in steady state. Workers are single-threaded, so routing
+# PyObject allocation through glibc malloc (PYTHONMALLOC=malloc) with
+# trim disabled gives full recycling of the string churn.
+WORKER_ALLOC_ENV = {
+    "PYTHONMALLOC": "malloc",
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),   # never trim the heap back
+    "MALLOC_MMAP_THRESHOLD_": str(128 << 20), # numpy scratch stays on heap
+    "MALLOC_TOP_PAD_": str(64 << 20),         # grow sbrk in big steps
+}
+
+
+def apply_worker_alloc_env() -> None:
+    """Export WORKER_ALLOC_ENV so Spark's Python workers inherit it.
+
+    Must run BEFORE the JVM is launched (the pyspark daemon — and the
+    workers it forks — inherit the JVM's environment). Values already
+    present in the environment win, so a caller can A/B-override.
+    """
+    for k, v in WORKER_ALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+
 
 def ensure_py_files(spark: SparkSession) -> None:
     """Ship the quarrycore_spark package to Python workers via addPyFile.
@@ -55,6 +87,7 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    apply_worker_alloc_env()
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -79,6 +112,10 @@ def get_spark(
         # aggregate-derived branches; the round-2 pipeline restructure
         # removed that plan shape and the default optimizer passes again.
     )
+    # local mode: workers inherit via the JVM env (apply_worker_alloc_env
+    # above); cluster mode: executors get the same tuning via executorEnv.
+    for k, v in WORKER_ALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
