@@ -99,6 +99,8 @@ HEADLINE = [
     "pii_scan",
     "domain_classify",
     "medical_entities",
+    "doc_repetition",
+    "corpus_dup_lines",
     "source_dedup_stats",
     "event_props_metadata",
     "stratified_sample",

@@ -1041,6 +1041,7 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     mediaops,
     metaextract,
     metaops,
+    repetition,
     structops,
     textops,
     vectorops,
