@@ -101,6 +101,11 @@ HEADLINE = [
     "medical_entities",
     "doc_repetition",
     "corpus_dup_lines",
+    "decontaminate",
+    "word_rarity",
+    "event_attribution",
+    "event_rate_window",
+    "pack_sequences",
     "source_dedup_stats",
     "event_props_metadata",
     "stratified_sample",

@@ -1035,12 +1035,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registration side-effect modules (import at bottom to avoid cycles).
 from quarrycore_spark.plans import (  # noqa: E402,F401
+    asof,
     classify,
+    decontam,
     domops,
     dsops,
     mediaops,
     metaextract,
     metaops,
+    packing,
+    rarity,
     repetition,
     structops,
     textops,
