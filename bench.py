@@ -106,6 +106,7 @@ HEADLINE = [
     "event_attribution",
     "event_rate_window",
     "pack_sequences",
+    "url_dedup",
     "source_dedup_stats",
     "event_props_metadata",
     "stratified_sample",

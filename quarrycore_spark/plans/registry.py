@@ -1048,6 +1048,7 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     repetition,
     structops,
     textops,
+    urlops,
     vectorops,
 )
 
