@@ -107,6 +107,8 @@ HEADLINE = [
     "event_rate_window",
     "pack_sequences",
     "url_dedup",
+    "incremental_dedup",
+    "heavy_hitter_ngrams",
     "source_dedup_stats",
     "event_props_metadata",
     "stratified_sample",

@@ -1040,6 +1040,8 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     decontam,
     domops,
     dsops,
+    heavyhitters,
+    incremental,
     mediaops,
     metaextract,
     metaops,
