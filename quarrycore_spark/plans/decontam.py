@@ -87,17 +87,22 @@ def _decontaminate_sql(dialect: str) -> str:
         explode = "explode(grams) AS gram"
         hint = "/*+ BROADCAST(d) */ "
         intdiv = "div"
+        adist = "array_distinct"
     else:
         explode = "unnest(grams) AS gram"
         hint = ""
         intdiv = "//"
+        adist = "list_distinct"
+    # Per-doc gram dedup is IN-PLACE (array_distinct before the
+    # explode): the corpus side never pays a DISTINCT (doc_id, gram)
+    # shuffle — `_e` is a pure projection of the explode. Cross-doc
+    # DISTINCT survives only on the tiny eval side (`_d`).
     return f"""
 WITH {decontam_augmented_cte(dialect)},
 _w AS (SELECT doc_id, {_words('atext', dialect)} AS w FROM _aug),
 _n AS (SELECT doc_id, w, {_size('w', dialect)} AS nw FROM _w),
-_g AS (SELECT doc_id, {grams} AS grams FROM _n),
-_x AS (SELECT doc_id, {explode} FROM _g),
-_e AS (SELECT DISTINCT doc_id, gram FROM _x),
+_g AS (SELECT doc_id, {adist}({grams}) AS grams FROM _n),
+_e AS (SELECT doc_id, {explode} FROM _g),
 _d AS (SELECT DISTINCT gram
        FROM _e WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}),
 _hits AS (SELECT {hint}e.doc_id,

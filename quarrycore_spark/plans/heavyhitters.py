@@ -15,12 +15,13 @@ doc_id div 4 parity — each sentence contributes its trigrams to ~1/8
 of the corpus, guaranteeing the planted phrases dominate the top-K at
 every sf while the natural tail stays visible behind them.
 
-100-TB shape: explode distinct per-doc trigrams, two-stage hash count
-(map-side partial absorbs the per-doc repetition), then a single
-global top-K — rows after the partial agg are (gram, count) only, and
-the final ORDER BY ... LIMIT K is Spark's TakeOrderedAndProject (a
-per-partition top-K merged on the driver, never a full sort). The
-(count DESC, gram ASC) tie-break makes the K-boundary deterministic.
+100-TB shape: per-doc dedup happens IN-PLACE (`array_distinct` before
+the explode — no corpus-wide DISTINCT shuffle of (doc_id, gram)
+pairs), then ONE two-stage hash count whose map-side partial reduces
+each partition to (gram, count) before anything moves, and the final
+ORDER BY ... LIMIT K is Spark's TakeOrderedAndProject (a per-partition
+top-K merged on the driver, never a full sort). The (count DESC,
+gram ASC) tie-break makes the K-boundary deterministic.
 """
 
 from __future__ import annotations
@@ -47,9 +48,11 @@ def _heavy_hitter_sql(dialect: str) -> str:
     if dialect == SPARK:
         explode = "explode(grams) AS gram"
         d = "div"
+        adist = "array_distinct"
     else:
         explode = "unnest(grams) AS gram"
         d = "//"
+        adist = "list_distinct"
     plant = (
         f"CASE WHEN doc_id % {PLANT_MOD} = {PLANT_RESIDUE} THEN "
         f"chr(10) || (CASE WHEN (doc_id {d} {PLANT_MOD}) % 2 = 0 "
@@ -59,10 +62,9 @@ def _heavy_hitter_sql(dialect: str) -> str:
 WITH _aug AS (SELECT doc_id, text || {plant} AS atext FROM documents),
 _w AS (SELECT doc_id, {_words('atext', dialect)} AS w FROM _aug),
 _n AS (SELECT doc_id, w, {_size('w', dialect)} AS nw FROM _w),
-_g AS (SELECT doc_id, {grams} AS grams FROM _n),
+_g AS (SELECT doc_id, {adist}({grams}) AS grams FROM _n),
 _x AS (SELECT doc_id, {explode} FROM _g),
-_e AS (SELECT DISTINCT doc_id, gram FROM _x),
-_cnt AS (SELECT gram, count(*) AS doc_freq FROM _e GROUP BY gram)
+_cnt AS (SELECT gram, count(*) AS doc_freq FROM _x GROUP BY gram)
 SELECT gram, cast(doc_freq AS int) AS doc_freq
 FROM _cnt
 ORDER BY doc_freq DESC, gram
