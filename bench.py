@@ -101,6 +101,10 @@ HEADLINE = [
     "medical_entities",
     "doc_repetition",
     "corpus_dup_lines",
+    "clean_dup_lines",
+    "pii_redact",
+    "filter_funnel",
+    "link_graph",
     "decontaminate",
     "word_rarity",
     "event_attribution",

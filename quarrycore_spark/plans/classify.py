@@ -43,15 +43,6 @@ from quarrycore_spark.plans.registry import Query, register
 
 # --- reference data tables ---------------------------------------------------
 
-# MedicalExtractor.pii_patterns (domain_extractors.py:158-164), scanned
-# case-sensitively (reference _detect_pii uses re.findall with no flags).
-PII_PATTERNS: dict[str, str] = {
-    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-    "dob": r"\b\d{2}/\d{2}/\d{4}\b",
-    "mrn": r"\b(?:MRN|Medical Record Number):\s*\d+\b",
-    "long_id": r"\b\d{10,}\b",
-}
-
 # The four extractors' domain_keywords sets, verbatim (data, not logic):
 # MedicalExtractor :71-104, LegalExtractor :252-290, EcommerceExtractor
 # :478-510, TechnicalExtractor :773-810. Declaration order here IS the
@@ -129,19 +120,15 @@ MEDICAL_ENTITY_PATTERNS: dict[str, tuple[str, ...]] = {
 # --- dialect helpers ---------------------------------------------------------
 
 
-def _pat_lit(pattern: str, dialect: str) -> str:
-    """The regex as a SQL string literal. Spark string literals process
-    backslash escapes (parser default), DuckDB's do not."""
-    body = pattern.replace("\\", "\\\\") if dialect == SPARK else pattern
-    return "'" + body + "'"
-
-
-def regexp_count(expr: str, pattern: str, dialect: str) -> str:
-    """Count of non-overlapping matches, as int."""
-    lit = _pat_lit(pattern, dialect)
-    if dialect == SPARK:
-        return f"cast(regexp_count({expr}, {lit}) as int)"
-    return f"cast(len(regexp_extract_all({expr}, {lit})) as int)"
+# Shared regex fragments + planted-PII augmentation (moved to
+# functions/plants.py to break the plans-module import cycle);
+# re-exported here for back-compat.
+from quarrycore_spark.functions.plants import (  # noqa: E402,F401
+    PII_PATTERNS,
+    _pat_lit,
+    pii_augmented_cte,
+    regexp_count,
+)
 
 
 def _word_count(expr: str, dialect: str) -> str:
@@ -166,44 +153,6 @@ def domain_match_count(expr: str, domain: str, dialect: str) -> str:
 
 
 # --- planted augmentation ----------------------------------------------------
-
-
-def pii_augmented_cte(dialect: str) -> str:
-    """CTE `_aug`: doc_id, atext = text + a deterministic PII suffix.
-
-    Per doc_id i: an SSN iff i%3=0, a DOB iff i%4=1, an MRN (long form
-    'Medical Record Number' on odd ids) iff i%5=2, a 10-digit id iff
-    i%7=3 — plus always-on decoys that must NOT match any pattern
-    (wrong shapes: 12-345, a version string, a 9-digit run, and a
-    lowercase 'mrn: 1' that the case-sensitive scan must skip)."""
-    fmt = "printf" if dialect != SPARK else "format_string"
-    ssn = (
-        f"CASE WHEN doc_id % 3 = 0 THEN ' ssn ' || "
-        f"{fmt}('%03d-%02d-%04d', 100 + doc_id % 898, 10 + doc_id % 89, "
-        f"1000 + doc_id % 8999) ELSE '' END"
-    )
-    dob = (
-        f"CASE WHEN doc_id % 4 = 1 THEN ' dob ' || "
-        f"{fmt}('%02d/%02d/%04d', 1 + doc_id % 12, 1 + doc_id % 28, "
-        f"1950 + doc_id % 50) ELSE '' END"
-    )
-    mrn = (
-        f"CASE WHEN doc_id % 5 != 2 THEN '' "
-        f"WHEN doc_id % 2 = 1 THEN ' Medical Record Number: ' "
-        f"|| CAST(10000 + doc_id AS {'STRING' if dialect == SPARK else 'VARCHAR'}) "
-        f"ELSE ' MRN: ' "
-        f"|| CAST(10000 + doc_id AS {'STRING' if dialect == SPARK else 'VARCHAR'}) END"
-    )
-    lid = (
-        f"CASE WHEN doc_id % 7 = 3 THEN ' id ' || "
-        f"{fmt}('%010d', 977 * doc_id + 1) ELSE '' END"
-    )
-    decoys = "' ref 12-345 v1.2.3 run 123456789 mrn: 1 '"
-    return (
-        f"_aug AS (SELECT doc_id, "
-        f"text || {decoys} || {ssn} || {dob} || {mrn} || {lid} AS atext "
-        f"FROM documents)"
-    )
 
 
 def domain_augmented_cte(dialect: str) -> str:
@@ -283,6 +232,73 @@ register(
         "text (reference MedicalExtractor._detect_pii patterns; "
         "cross-engine Java-regex/RE2 parity)",
         _pii_scan,
+    )
+)
+
+
+# Redaction tokens, applied in PII_PATTERNS declaration order (the
+# reference's scan order). Tokens are digit-free so an earlier
+# replacement can never create or extend a later pattern's match.
+PII_REDACTIONS: dict[str, str] = {
+    "ssn": "[SSN]",
+    "dob": "[DOB]",
+    "mrn": "[MRN]",
+    "long_id": "[ID]",
+}
+
+
+def regexp_replace_all(expr: str, pattern: str, repl: str, dialect: str) -> str:
+    """Replace EVERY non-overlapping match (Spark's regexp_replace is
+    global by default; DuckDB's replaces only the first without 'g')."""
+    lit = _pat_lit(pattern, dialect)
+    if dialect == SPARK:
+        return f"regexp_replace({expr}, {lit}, '{repl}')"
+    return f"regexp_replace({expr}, {lit}, '{repl}', 'g')"
+
+
+def _pii_redact(dialect: str) -> str:
+    """PII redaction transform: the scan's action half. The reference
+    detects PII and rejects the document (MedicalExtractor._detect_pii →
+    metadata flag); a training pipeline that KEEPS the page needs the
+    in-place redaction. One projection chain — four regexp_replace calls
+    nested in declaration order — so the whole transform is a single
+    whole-stage-codegen map over the corpus: no shuffle, no UDF, scales
+    as a pure scan at 100 TB.
+
+    Counts are taken on the ORIGINAL text (same expressions as
+    `pii_scan`) and `n_residual` re-scans the redacted text — a
+    self-auditing invariant (0 everywhere) that also pins cross-engine
+    regexp_replace agreement into the value hash."""
+    chain = "atext"
+    for k, p in PII_PATTERNS.items():
+        chain = regexp_replace_all(chain, p, PII_REDACTIONS[k], dialect)
+    n_before = " + ".join(
+        regexp_count("atext", p, dialect) for p in PII_PATTERNS.values()
+    )
+    n_after = " + ".join(
+        regexp_count("redacted", p, dialect) for p in PII_PATTERNS.values()
+    )
+    return f"""
+WITH {pii_augmented_cte(dialect)},
+_r AS (SELECT doc_id,
+       {chain} AS redacted,
+       cast({n_before} as int) AS n_redacted
+FROM _aug)
+SELECT doc_id, redacted,
+       n_redacted,
+       cast(length(redacted) as int) AS redacted_len,
+       cast({n_after} as int) AS n_residual
+FROM _r
+"""
+
+
+register(
+    Query(
+        "pii_redact",
+        "PII redaction transform: global regexp_replace chain in scan "
+        "order over planted-PII text; counts before + residual after "
+        "(cross-engine replace parity pinned in the hash)",
+        _pii_redact,
     )
 )
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from quarrycore_spark.functions.dialect import SPARK
 from quarrycore_spark.plans.registry import Query, register
-from quarrycore_spark.plans.repetition import _ngrams, _size, _words
+from quarrycore_spark.functions.textfrag import _ngrams, _size, _words
 
 # GPT-3-style decontamination gram length (13 consecutive words).
 NGRAM_K = 13

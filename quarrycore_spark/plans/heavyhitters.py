@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from quarrycore_spark.functions.dialect import SPARK
 from quarrycore_spark.plans.registry import Query, register
-from quarrycore_spark.plans.repetition import _ngrams, _size, _words
+from quarrycore_spark.functions.textfrag import _ngrams, _size, _words
 
 TOP_K = 20
 NGRAM_K = 3

@@ -1,0 +1,225 @@
+"""Domain-level link graph from extracted anchors — the web-graph
+operator a crawler-fed pipeline runs before prioritizing fetches.
+
+The reference extracts per-page links (protocols.py:212-220, populated by
+the extractor cascade) and keeps domain metadata; a 100 TB corpus wants
+those anchors aggregated into the domain→domain edge list (crawl-frontier
+scoring, spam-cluster detection, in/out-degree features for quality
+models — the OPIC/PageRank substrate). Two queries:
+
+* `link_graph` — (src_domain, dst_domain, n_links, n_src_docs) edges.
+* `domain_degrees` — per domain: out_degree / in_degree (distinct
+  neighbor domains), n_outlinks, n_inlinks.
+
+Like `doc_link_stats`/`media_phash_pairs`, the driver ships no HTML
+table, so pages are rendered deterministically from `documents.doc_id`
+and the SPARK side runs the REAL extraction path (mapInPandas render →
+extraction/structured.py anchor parse → JVM-side href classification +
+aggregation); the DUCKDB oracle computes the same edges arithmetically.
+
+Page URL of doc i:   https://site{i % 20}.example.com/d{i}
+Per page i:
+  - i % 4 absolute outlinks  https://site{(i + 3j + 1) % 20}.example.com/p{j}
+    for j in 0..(i%4)-1 (3j+1 is never 0 mod 20 for j<=2, so an absolute
+    link never self-loops — self edges come ONLY from relative hrefs);
+  - 1 + i % 3 copies of a RELATIVE link /self?k={k} → resolves against
+    the page host: a self-edge with multiplicity (so n_links >
+    n_src_docs on self edges — the hash catches a dedup bug);
+  - noise the classifier must drop: a mailto:, a javascript:, a
+    fragment-only #frag anchor, an anchor with no href, plus the
+    commented-out <a> the extractor itself must ignore.
+
+Scale shape: render+extract is one Arrow map pass (no shuffle); the
+edge list is ONE two-stage hash aggregate over slim (src, dst, doc_id)
+rows — map-side combine absorbs hot domain pairs; degrees are two more
+small aggs over the edge list joined domain-to-domain (broadcast at sf,
+sort-merge at scale). Anchor text and HTML never cross an exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quarrycore_spark.plans.registry import Query, register
+
+N_SITES = 20
+
+_NOISE = (
+    "<script>var a=\"<a href='https://fake.example.com/x'>fake</a>\";</script>"
+    "<!-- <a href=\"https://commented.example.com/c\">commented</a> -->"
+)
+
+
+def page_url(doc_id: int) -> str:
+    return f"https://site{doc_id % N_SITES}.example.com/d{doc_id}"
+
+
+def render_link_html(doc_id: int) -> bytes:
+    parts = [f"<html><head><title>d{doc_id}</title>{_NOISE}</head><body>"]
+    for j in range(doc_id % 4):
+        dst = (doc_id + 3 * j + 1) % N_SITES
+        parts.append(f'<a href="https://site{dst}.example.com/p{j}">t{j}</a>')
+    for k in range(1 + doc_id % 3):
+        parts.append(f'<a href="/self?k={k}">self {k}</a>')
+    parts.append('<a href="mailto:x@example.com">mail</a>')
+    parts.append('<a href="javascript:void(0)">js</a>')
+    parts.append('<a href="#frag">frag</a>')
+    parts.append("<a>no href</a>")
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_domain, dst_domain, doc_id) — one row per kept anchor."""
+    from quarrycore_spark.extraction.structured import with_structured_content
+    from quarrycore_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "url": [page_url(int(i)) for i in ids],
+                    "html": [render_link_html(int(i)) for i in ids],
+                }
+            )
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    links = (
+        with_structured_content(pages)
+        .select(
+            F.regexp_extract("url", r"/d(\d+)$", 1).cast("bigint").alias("doc_id"),
+            F.parse_url("url", F.lit("HOST")).alias("src_domain"),
+            F.explode("links").alias("l"),
+        )
+        .select("doc_id", "src_domain", F.col("l.href").alias("href"))
+    )
+    # Classify hrefs: absolute http(s) -> target host; site-relative path
+    # -> the page's own host; everything else (mailto/javascript/#frag)
+    # is not a graph edge.
+    dst = (
+        F.when(
+            F.col("href").startswith("http"),
+            F.parse_url("href", F.lit("HOST")),
+        )
+        .when(F.col("href").startswith("/"), F.col("src_domain"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        links.withColumn("dst_domain", dst)
+        .filter(F.col("dst_domain").isNotNull())
+        .select("src_domain", "dst_domain", "doc_id")
+    )
+
+
+def _spark_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _edges(spark, sf_dir)
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count("*").cast("int").alias("n_links"),
+            F.countDistinct("doc_id").cast("int").alias("n_src_docs"),
+        )
+    )
+
+
+def _oracle_edge_cte(dialect: str) -> str:
+    """CTE `_edges`(src_domain, dst_domain, doc_id): the closed-form
+    per-anchor rows (DuckDB dialect; the Spark side is the real path)."""
+    site = "'site' || cast({n} as varchar) || '.example.com'"
+    src = site.format(n=f"doc_id % {N_SITES}")
+    dst = site.format(n=f"(doc_id + 3 * j + 1) % {N_SITES}")
+    return f"""
+_abs AS (SELECT doc_id, unnest(range(0, cast(doc_id % 4 as int))) AS j
+         FROM documents),
+_self AS (SELECT doc_id,
+                 unnest(range(0, cast(1 + doc_id % 3 as int))) AS k
+          FROM documents),
+_edges AS (
+  SELECT {src} AS src_domain, {dst} AS dst_domain, doc_id FROM _abs
+  UNION ALL
+  SELECT {src} AS src_domain, {src} AS dst_domain, doc_id FROM _self
+)"""
+
+
+def _link_graph(dialect: str) -> str:
+    return f"""
+WITH {_oracle_edge_cte(dialect)}
+SELECT src_domain, dst_domain,
+       cast(count(*) as int) AS n_links,
+       cast(count(DISTINCT doc_id) as int) AS n_src_docs
+FROM _edges
+GROUP BY src_domain, dst_domain
+"""
+
+
+register(
+    Query(
+        "link_graph",
+        "Domain->domain link-graph edges from REAL anchor extraction over "
+        "deterministic synthetic pages (relative-href resolution, "
+        "mailto/javascript/fragment filtering; arithmetic oracle)",
+        _link_graph,
+        spark_fn=_spark_link_graph,
+        tables=("documents",),
+    )
+)
+
+
+def _spark_domain_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n")
+    )
+    out = edges.groupBy(F.col("src_domain").alias("domain")).agg(
+        F.countDistinct("dst_domain").cast("int").alias("out_degree"),
+        F.sum("n").cast("int").alias("n_outlinks"),
+    )
+    in_ = edges.groupBy(F.col("dst_domain").alias("domain")).agg(
+        F.countDistinct("src_domain").cast("int").alias("in_degree"),
+        F.sum("n").cast("int").alias("n_inlinks"),
+    )
+    return (
+        out.join(in_, "domain", "full_outer")
+        .fillna(0, ["out_degree", "n_outlinks", "in_degree", "n_inlinks"])
+        .select("domain", "out_degree", "in_degree", "n_outlinks", "n_inlinks")
+    )
+
+
+def _domain_degrees(dialect: str) -> str:
+    return f"""
+WITH {_oracle_edge_cte(dialect)},
+_g AS (SELECT src_domain, dst_domain, count(*) AS n
+       FROM _edges GROUP BY src_domain, dst_domain),
+_out AS (SELECT src_domain AS domain,
+                count(DISTINCT dst_domain) AS out_degree,
+                sum(n) AS n_outlinks
+         FROM _g GROUP BY src_domain),
+_in AS (SELECT dst_domain AS domain,
+               count(DISTINCT src_domain) AS in_degree,
+               sum(n) AS n_inlinks
+        FROM _g GROUP BY dst_domain)
+SELECT coalesce(o.domain, i.domain) AS domain,
+       cast(coalesce(o.out_degree, 0) as int) AS out_degree,
+       cast(coalesce(i.in_degree, 0) as int) AS in_degree,
+       cast(coalesce(o.n_outlinks, 0) as int) AS n_outlinks,
+       cast(coalesce(i.n_inlinks, 0) as int) AS n_inlinks
+FROM _out o FULL OUTER JOIN _in i ON o.domain = i.domain
+"""
+
+
+register(
+    Query(
+        "domain_degrees",
+        "Per-domain in/out degree + link volumes over the extracted link "
+        "graph (crawl-frontier / quality-model features)",
+        _domain_degrees,
+        spark_fn=_spark_domain_degrees,
+        tables=("documents",),
+    )
+)

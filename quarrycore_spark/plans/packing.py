@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from quarrycore_spark.functions.dialect import SPARK
 from quarrycore_spark.plans.registry import Query, register
-from quarrycore_spark.plans.repetition import _size, _words
+from quarrycore_spark.functions.textfrag import _size, _words
 
 # Tokens per packed training sequence.
 CONTEXT_TOKENS = 256

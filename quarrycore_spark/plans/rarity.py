@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from quarrycore_spark.functions.dialect import SPARK
 from quarrycore_spark.plans.registry import Query, register
-from quarrycore_spark.plans.repetition import _words
+from quarrycore_spark.functions.textfrag import _words
 
 # Documents whose mean integer surprisal exceeds this (milli-bits) are
 # "tail" (rare-heavy) — the CCNet bucket a quality filter would drop

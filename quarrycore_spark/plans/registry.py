@@ -1040,8 +1040,10 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     decontam,
     domops,
     dsops,
+    funnel,
     heavyhitters,
     incremental,
+    linkgraph,
     mediaops,
     metaextract,
     metaops,

@@ -36,102 +36,32 @@ from __future__ import annotations
 from quarrycore_spark.functions.dialect import SPARK
 from quarrycore_spark.plans.registry import Query, register
 
-# Gopher-inspired removal thresholds, in milli-units of the
-# distinct-fraction variants computed here (MassiveText uses 0.30 for
-# duplicate line FRACTION; the n-gram rules there are char-mass based —
-# the distinct-count variant is the shuffle-free per-row analogue).
-DUP_LINE_MILLI_MAX = 300
-DUP_2GRAM_MILLI_MAX = 200
-DUP_3GRAM_MILLI_MAX = 180
-
 # corpus_dup_lines: a line is "boilerplate" when it appears in at least
 # this many distinct documents (C4 uses "more than once"; 3 keeps the
 # planted signal unambiguous against accidental synthetic-text repeats).
 MIN_DOCS_FOR_DUP = 3
 
 
-def _words(expr: str, dialect: str) -> str:
-    """Non-whitespace runs of the raw text (python str.split parity)."""
-    if dialect == SPARK:
-        return f"regexp_extract_all({expr}, '\\\\S+', 0)"
-    return f"regexp_extract_all({expr}, '\\S+')"
+# Shared dual-dialect fragments (moved to functions/textfrag.py to break
+# the plans-module import cycle); re-exported here for back-compat.
+from quarrycore_spark.functions.textfrag import (  # noqa: F401
+    _distinct_size,
+    _dup_milli,
+    _lines,
+    _ngrams,
+    _size,
+    _words,
+)
 
 
-def _lines(expr: str, dialect: str) -> str:
-    """Trimmed non-empty lines of the text."""
-    if dialect == SPARK:
-        split = f"split({expr}, chr(10))"
-        return f"filter(transform({split}, x -> trim(x)), x -> x != '')"
-    split = f"string_split({expr}, chr(10))"
-    return f"list_filter(list_transform({split}, x -> trim(x)), x -> x != '')"
-
-
-def _ngrams(arr: str, n_expr: str, k: int, dialect: str) -> str:
-    """Word k-grams of array `arr` whose length is `n_expr`; empty when
-    fewer than k words (guarded: Spark's sequence(1, 0) would DESCEND)."""
-    if dialect == SPARK:
-        parts = " , ' ', ".join(f"element_at({arr}, i + {j})" for j in range(k))
-        body = f"transform(sequence(1, {n_expr} - {k - 1}), i -> concat({parts}))"
-        return f"case when {n_expr} < {k} then array() else {body} end"
-    parts = " || ' ' || ".join(f"{arr}[i + {j}]" for j in range(k))
-    body = f"list_transform(range(1, {n_expr} - {k - 2}), i -> {parts})"
-    return f"case when {n_expr} < {k} then [] else {body} end"
-
-
-def _distinct_size(arr: str, dialect: str) -> str:
-    if dialect == SPARK:
-        return f"size(array_distinct({arr}))"
-    return f"cast(len(list_distinct({arr})) as int)"
-
-
-def _size(arr: str, dialect: str) -> str:
-    if dialect == SPARK:
-        return f"size({arr})"
-    return f"cast(len({arr}) as int)"
-
-
-def _dup_milli(total: str, uniq: str, dialect: str) -> str:
-    """((total - distinct) * 1000) // total, 0 for empty."""
-    d = "div" if dialect == SPARK else "//"
-    return (
-        f"cast(case when {total} = 0 then 0 "
-        f"else (({total} - {uniq}) * 1000) {d} {total} end as int)"
-    )
-
-
-def repetition_augmented_cte(dialect: str) -> str:
-    """CTE `_aug`: doc_id, atext = text + deterministic planted lines.
-
-    Per doc_id i: `i % 5` copies of one fixed line (within-doc duplicate
-    lines), `i % 3` unique lines salted with doc_id (distinct mass), a
-    repeated ' spam ham' run of length `i % 6` (duplicate 2-/3-grams),
-    and two corpus-boilerplate lines gated on i%4=0 / i%7=2 (cross-doc
-    duplicates for corpus_dup_lines). All pieces are newline-joined so
-    the line split actually has work to do at every sf."""
-    nl = "chr(10)"
-    dup_line = f"repeat({nl} || 'dup line alpha beta', cast(doc_id % 5 as int))"
-    uniq1 = (
-        f"case when doc_id % 3 >= 1 then {nl} || 'uniq ' || doc_id || ' one' "
-        f"else '' end"
-    )
-    uniq2 = (
-        f"case when doc_id % 3 >= 2 then {nl} || 'uniq ' || doc_id || ' two' "
-        f"else '' end"
-    )
-    spam = f"repeat(' spam ham', cast(doc_id % 6 as int))"
-    boiler1 = (
-        f"case when doc_id % 4 = 0 then {nl} || 'copyright boilerplate row' "
-        f"else '' end"
-    )
-    boiler2 = (
-        f"case when doc_id % 7 = 2 then {nl} || 'subscribe to our newsletter' "
-        f"else '' end"
-    )
-    return (
-        f"_aug AS (SELECT doc_id, "
-        f"text || {spam} || {dup_line} || {uniq1} || {uniq2} "
-        f"|| {boiler1} || {boiler2} AS atext FROM documents)"
-    )
+# Thresholds + planted-line augmentation (moved to functions/plants.py
+# to break the plans-module import cycle); re-exported for back-compat.
+from quarrycore_spark.functions.plants import (  # noqa: E402,F401
+    DUP_2GRAM_MILLI_MAX,
+    DUP_3GRAM_MILLI_MAX,
+    DUP_LINE_MILLI_MAX,
+    repetition_augmented_cte,
+)
 
 
 def _doc_repetition(dialect: str) -> str:
@@ -214,5 +144,70 @@ register(
         "removal): per doc, distinct lines shared by >= 3 documents; "
         "explode + two-stage hash agg + hash join on the line value",
         _corpus_dup_lines,
+    )
+)
+
+
+def _clean_dup_lines(dialect: str) -> str:
+    """The C4 removal TRANSFORM: `corpus_dup_lines` detects boilerplate
+    lines; this query actually deletes them and hands back the cleaned
+    text, preserving the surviving lines' original order.
+
+    Shape at 100 TB: positional explode → the same two-stage dup-line
+    aggregate → one LEFT hash join on the line value (flag, not filter,
+    so removal counts ride the same pass) → ONE groupBy(doc_id) that
+    re-assembles the text from (pos, line) pairs. Order is restored
+    inside the aggregate (array_sort over structs / string_agg ORDER BY
+    pos), so no extra sort exchange; the assembled text crosses exactly
+    one shuffle, keyed by doc_id — the minimum for a per-doc rebuild.
+    A doc whose every line is boilerplate still emits a row (empty
+    clean_text, coalesce-pinned in both dialects)."""
+    if dialect == SPARK:
+        pos_explode = (
+            "SELECT doc_id, pos, line FROM _l "
+            "LATERAL VIEW posexplode(lns) t AS pos, line"
+        )
+        # array_sort over (pos, is_dup, line) structs orders by pos
+        # (unique per doc), then surviving lines join in order.
+        assemble = (
+            "array_join(transform(filter(array_sort("
+            "collect_list(struct(pos, is_dup, line))), "
+            "s -> s.is_dup = 0), s -> s.line), chr(10))"
+        )
+    else:
+        pos_explode = (
+            "SELECT doc_id, generate_subscripts(lns, 1) AS pos, "
+            "unnest(lns) AS line FROM _l"
+        )
+        assemble = (
+            "coalesce(string_agg(CASE WHEN is_dup = 0 THEN line END, "
+            "chr(10) ORDER BY pos), '')"
+        )
+    return f"""
+WITH {repetition_augmented_cte(dialect)},
+_l AS (SELECT doc_id, {_lines("atext", dialect)} AS lns FROM _aug),
+_e AS ({pos_explode}),
+_d AS (SELECT line FROM _e GROUP BY line
+       HAVING count(DISTINCT doc_id) >= {MIN_DOCS_FOR_DUP}),
+_f AS (SELECT e.doc_id, e.pos, e.line,
+              CASE WHEN d.line IS NULL THEN 0 ELSE 1 END AS is_dup
+       FROM _e e LEFT JOIN _d d ON e.line = d.line)
+SELECT doc_id,
+       {assemble} AS clean_text,
+       cast(sum(1 - is_dup) as int) AS n_kept,
+       cast(sum(is_dup) as int) AS n_removed
+FROM _f
+GROUP BY doc_id
+"""
+
+
+register(
+    Query(
+        "clean_dup_lines",
+        "C4-style boilerplate-line REMOVAL transform: drop lines shared "
+        "by >= 3 docs and re-assemble the cleaned text in original line "
+        "order; posexplode + hash agg + one left join + one doc_id "
+        "re-assembly shuffle",
+        _clean_dup_lines,
     )
 )

@@ -16,8 +16,10 @@ from quarrycore_spark.plans.classify import (
     GENERAL_FLOOR_MILLI,
     MEDICAL_ENTITY_PATTERNS,
     PII_PATTERNS,
+    PII_REDACTIONS,
     _domain_classify,
     _medical_entities,
+    _pii_redact,
     _pii_scan,
     domain_augmented_cte,
     entity_augmented_cte,
@@ -107,6 +109,43 @@ def test_pii_planting_fires_every_pattern():
     # decoys only (doc 2: id%3!=0, %4!=1, %5!=2, %7!=3, inert text)
     base = got[got["doc_id"] == 2].iloc[0]
     assert base["n_ssn"] == 0 and base["n_dob"] == 0 and base["n_long_id"] == 0
+
+
+def ref_redact(text: str) -> tuple[str, int]:
+    """re.sub chain in PII_PATTERNS declaration order, counts pre-replace."""
+    n = sum(len(re.findall(p, text)) for p in PII_PATTERNS.values())
+    for k, p in PII_PATTERNS.items():
+        text = re.sub(p, PII_REDACTIONS[k], text)
+    return text, n
+
+
+def test_pii_redact_matches_python_reference():
+    docs = docs_df()
+    atexts = augmented(pii_augmented_cte(DUCKDB), docs)
+    got = run_duck(_pii_redact(DUCKDB), docs)
+    assert len(got) == len(docs)
+    for _, row in got.iterrows():
+        exp_text, exp_n = ref_redact(atexts[row["doc_id"]])
+        assert row["redacted"] == exp_text, row["doc_id"]
+        assert row["n_redacted"] == exp_n
+        assert row["redacted_len"] == len(exp_text)
+
+
+def test_pii_redact_no_residual_and_consistent_with_scan():
+    docs = docs_df()
+    red = run_duck(_pii_redact(DUCKDB), docs)
+    assert (red["n_residual"] == 0).all()
+    assert red["n_redacted"].sum() > 0  # planting fires
+    scan = run_duck(_pii_scan(DUCKDB), docs)
+    merged = red.merge(scan, on="doc_id")
+    # counts were taken on the same original text, so they must agree
+    assert (merged["n_redacted"] == merged["n_pii"]).all()
+
+
+def test_pii_redact_tokens_are_digit_free():
+    # the ordering-safety invariant the chain relies on
+    for tok in PII_REDACTIONS.values():
+        assert not re.search(r"\d", tok)
 
 
 def test_pii_case_sensitive_mrn():

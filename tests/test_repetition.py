@@ -17,6 +17,7 @@ from quarrycore_spark.plans.repetition import (
     DUP_3GRAM_MILLI_MAX,
     DUP_LINE_MILLI_MAX,
     MIN_DOCS_FOR_DUP,
+    _clean_dup_lines,
     _corpus_dup_lines,
     _doc_repetition,
     repetition_augmented_cte,
@@ -190,3 +191,71 @@ def test_corpus_dup_lines_threshold():
                 for ln in py_lines(t)
             })
             assert (got["n_boilerplate_lines"] >= 1).sum() >= 3
+
+
+# --- clean_dup_lines --------------------------------------------------------------
+
+
+def ref_clean(atexts: dict[int, str]) -> dict[int, dict]:
+    doc_lines = {i: py_lines(t) for i, t in atexts.items()}
+    docs_per_line: Counter = Counter()
+    for lns in doc_lines.values():
+        for ln in set(lns):
+            docs_per_line[ln] += 1
+    dup = {ln for ln, c in docs_per_line.items() if c >= MIN_DOCS_FOR_DUP}
+    out = {}
+    for i, lns in doc_lines.items():
+        if not lns:
+            continue
+        kept = [ln for ln in lns if ln not in dup]
+        out[i] = {
+            "clean_text": "\n".join(kept),
+            "n_kept": len(kept),
+            "n_removed": len(lns) - len(kept),
+        }
+    return out
+
+
+def test_clean_dup_lines_matches_python_reference():
+    docs = docs_df()
+    atexts = augmented(docs)
+    exp = ref_clean(atexts)
+    got = run_duck(_clean_dup_lines(DUCKDB), docs)
+    assert set(got["doc_id"]) == set(exp)
+    for _, row in got.iterrows():
+        e = exp[row["doc_id"]]
+        for k, v in e.items():
+            assert row[k] == v, (row["doc_id"], k, dict(row), e)
+    assert got["n_removed"].sum() > 0  # the planted boilerplate fires
+
+
+def test_clean_dup_lines_preserves_order_and_duplicates():
+    """Within-doc duplicate non-boilerplate lines survive in place."""
+    docs = pd.DataFrame(
+        {
+            # doc_ids 3,6,9: %5 in {3,1,4} -> dup-line planting active on
+            # 3 and 9; the shared 'b' line is in 3 docs -> boilerplate
+            "doc_id": [3, 6, 9],
+            "text": ["z\nb\nz\nq3", "b\nq6", "q9\nb"],
+        }
+    )
+    atexts = augmented(docs)
+    exp = ref_clean(atexts)
+    got = run_duck(_clean_dup_lines(DUCKDB), docs)
+    for _, row in got.iterrows():
+        assert row["clean_text"] == exp[row["doc_id"]]["clean_text"]
+
+
+def test_clean_dup_lines_consistent_with_detector():
+    """n_removed equals the detector's per-doc occurrence count of
+    boilerplate lines (occurrences, not distinct)."""
+    docs = docs_df()
+    clean = run_duck(_clean_dup_lines(DUCKDB), docs)
+    det = run_duck(_corpus_dup_lines(DUCKDB), docs)
+    merged = clean.merge(det, on="doc_id")
+    assert (
+        merged["n_kept"] + merged["n_removed"] == merged["n_line_occurrences"]
+    ).all()
+    # a doc with zero boilerplate removes nothing
+    none = merged[merged["n_boilerplate_lines"] == 0]
+    assert (none["n_removed"] == 0).all()
