@@ -105,6 +105,7 @@ HEADLINE = [
     "pii_redact",
     "filter_funnel",
     "link_graph",
+    "cluster_representatives",
     "decontaminate",
     "word_rarity",
     "event_attribution",

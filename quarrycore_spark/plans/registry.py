@@ -1029,6 +1029,95 @@ register(
 )
 
 
+def _quality_scaled_sql(dialect: str) -> str:
+    """The integerized P11 quality score as a scalar expression over
+    (text, lang) — the same formula `text_quality` checks standalone."""
+    nt = D.norm_text("text", dialect)
+    d = "div" if dialect == SPARK else "//"
+    len_ok = f"case when length({nt}) > {CFG.min_text_len} then 1 else 0 end"
+    lang_en = "case when lang = 'en' then 1 else 0 end"
+    return f"(((30 * ({len_ok}) + 40 * ({lang_en})) * 100) {d} 70)"
+
+
+def _cluster_representatives_sql(dialect: str) -> str:
+    """D2/D16 composition: per near-dup cluster, keep the highest-quality
+    member (quality desc, doc_id asc tie-break) — the RefinedWeb-style
+    'best representative' selection, vs the pipeline's min-doc-id rule.
+    The survivor set changes ONLY where a cluster's best-quality member
+    is not its oldest — exactly the cases a quality-aware dedup exists
+    for, and the hash pins them."""
+    return f"""
+WITH RECURSIVE {_edges_sql(dialect)},
+_sym AS (SELECT u, v FROM _edges UNION SELECT v AS u, u AS v FROM _edges),
+reach(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.v AS dst FROM reach r JOIN _sym s ON r.dst = s.u
+),
+_cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+_q AS (SELECT doc_id, {_quality_scaled_sql(dialect)} AS quality_scaled
+       FROM documents),
+_rk AS (SELECT c.cluster_id, c.doc_id, q.quality_scaled,
+               row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality_scaled DESC, c.doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM _cl c JOIN _q q ON c.doc_id = q.doc_id)
+SELECT cluster_id,
+       doc_id AS rep_id,
+       cast(quality_scaled as int) AS rep_quality,
+       cast(cluster_size as int) AS cluster_size,
+       cast(cluster_size - 1 as int) AS n_discarded
+FROM _rk WHERE rk = 1
+"""
+
+
+def _spark_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One doc_id join (clusters ⋈ quality projection) + ONE two-stage
+    aggregate. The rep is max(struct(quality, -doc_id)) — struct max is
+    partial-aggregatable, so a 10⁸-member boilerplate mega-cluster folds
+    map-side instead of landing on one task the way a rank window would;
+    no text crosses a shuffle (quality is computed in the scan
+    projection). The oracle uses the equivalent rank-window form (DuckDB
+    has no struct max); the hash pins the two as identical."""
+    from pyspark.sql import functions as F
+
+    clusters = _spark_dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")["documents"]
+    quality = docs.select(
+        "doc_id", F.expr(_quality_scaled_sql(SPARK)).alias("quality_scaled")
+    )
+    joined = clusters.join(quality, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("quality_scaled").alias("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"), best)
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("rep_id"),
+            F.col("best.q").cast("int").alias("rep_quality"),
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("int").alias("n_discarded"),
+        )
+    )
+
+
+register(
+    Query(
+        "cluster_representatives",
+        "D2/D16 composition: per-cluster best-quality representative "
+        "(quality desc, doc_id asc) — quality-aware canonical selection "
+        "over the full CC cluster assignment",
+        _cluster_representatives_sql,
+        spark_fn=_spark_cluster_representatives,
+    )
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.run_spark for name, q in REGISTRY.items()}
 
