@@ -106,6 +106,7 @@ HEADLINE = [
     "filter_funnel",
     "link_graph",
     "cluster_representatives",
+    "two_hop_domains",
     "decontaminate",
     "word_rarity",
     "event_attribution",

@@ -223,3 +223,86 @@ register(
         tables=("documents",),
     )
 )
+
+
+def _spark_two_hop_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 2-hop reachability: per domain, distinct NON-SELF domains
+    reachable in one hop and in at most two directed hops.
+
+    The self-join runs on the DISTINCT domain-level edge list — after the
+    first aggregate the graph is bounded by (domains)², not corpus size,
+    so the expensive part (anchor extraction + edge agg) happens once and
+    the hop join moves kilobytes at any corpus scale."""
+    e = _edges(spark, sf_dir).select("src_domain", "dst_domain").distinct()
+    one = e.filter(F.col("src_domain") != F.col("dst_domain"))
+    e2 = e.select(
+        F.col("src_domain").alias("mid"), F.col("dst_domain").alias("dst2")
+    )
+    two = (
+        e.join(e2, e.dst_domain == e2.mid)
+        .select("src_domain", F.col("dst2").alias("dst_domain"))
+        .filter(F.col("src_domain") != F.col("dst_domain"))
+    )
+    reach = one.unionByName(two).distinct()
+    # every SOURCE domain gets a row — a domain whose only edges are
+    # self-loops still exists in the graph, with zero non-self reach
+    base = e.select(F.col("src_domain").alias("domain")).distinct()
+    return (
+        base.join(
+            one.groupBy(F.col("src_domain").alias("domain")).agg(
+                F.countDistinct("dst_domain").cast("int").alias("n_one_hop")
+            ),
+            "domain",
+            "left",
+        )
+        .join(
+            reach.groupBy(F.col("src_domain").alias("domain")).agg(
+                F.countDistinct("dst_domain").cast("int").alias("n_two_hop")
+            ),
+            "domain",
+            "left",
+        )
+        .fillna(0, ["n_one_hop", "n_two_hop"])
+        .select("domain", "n_one_hop", "n_two_hop")
+    )
+
+
+def _two_hop_domains(dialect: str) -> str:
+    return f"""
+WITH {_oracle_edge_cte(dialect)},
+_g AS (SELECT DISTINCT src_domain, dst_domain FROM _edges),
+_one AS (SELECT src_domain, dst_domain FROM _g
+         WHERE src_domain != dst_domain),
+_two AS (
+  SELECT a.src_domain, b.dst_domain
+  FROM _g a JOIN _g b ON a.dst_domain = b.src_domain
+  WHERE a.src_domain != b.dst_domain
+),
+_reach AS (SELECT src_domain, dst_domain FROM _one
+           UNION SELECT src_domain, dst_domain FROM _two),
+_base AS (SELECT DISTINCT src_domain AS domain FROM _g),
+_n1 AS (SELECT src_domain AS domain,
+               count(DISTINCT dst_domain) AS n_one_hop
+        FROM _one GROUP BY src_domain),
+_n2 AS (SELECT src_domain AS domain,
+               count(DISTINCT dst_domain) AS n_two_hop
+        FROM _reach GROUP BY src_domain)
+SELECT d.domain, cast(coalesce(a.n_one_hop, 0) as int) AS n_one_hop,
+       cast(coalesce(b.n_two_hop, 0) as int) AS n_two_hop
+FROM _base d
+LEFT JOIN _n1 a ON d.domain = a.domain
+LEFT JOIN _n2 b ON d.domain = b.domain
+"""
+
+
+register(
+    Query(
+        "two_hop_domains",
+        "Bounded 2-hop domain reachability over the extracted link graph "
+        "(distinct non-self neighbors at <=1 and <=2 hops); the hop join "
+        "runs on the domain-level edge list, not the corpus",
+        _two_hop_domains,
+        spark_fn=_spark_two_hop_domains,
+        tables=("documents",),
+    )
+)

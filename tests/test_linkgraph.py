@@ -104,3 +104,24 @@ def test_domain_degrees_consistent_with_edges():
         assert deg.loc[domain, "n_inlinks"] == grp["n_links"].sum()
     # link volume conserved: total out == total in == total edge links
     assert deg["n_outlinks"].sum() == deg["n_inlinks"].sum() == edges["n_links"].sum()
+
+
+def test_two_hop_reach_consistent_with_edges():
+    from quarrycore_spark.plans.linkgraph import _two_hop_domains
+
+    docs = docs_df()
+    edges = run_duck(_link_graph(DUCKDB), docs)
+    hop = run_duck(_two_hop_domains(DUCKDB), docs).set_index("domain")
+    # python reference: BFS depth 2 over the distinct edge set
+    adj: dict[str, set] = {}
+    for r in edges.itertuples():
+        adj.setdefault(r.src_domain, set()).add(r.dst_domain)
+    for domain, nbrs in adj.items():
+        one = nbrs - {domain}
+        two = set(one)
+        for m in nbrs:
+            two |= adj.get(m, set())
+        two -= {domain}
+        assert hop.loc[domain, "n_one_hop"] == len(one), domain
+        assert hop.loc[domain, "n_two_hop"] == len(two), domain
+        assert hop.loc[domain, "n_two_hop"] >= hop.loc[domain, "n_one_hop"]

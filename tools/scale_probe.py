@@ -1,5 +1,6 @@
-"""10x-scale validation draw for the pair family (VERDICT r6 #6): run
-minhash_verified_pairs / simhash_pairs / substring_pairs once at sf0.1
+"""10x-scale validation draw for the pair family (VERDICT r6 #6) and the
+round-7 line-dedup family: run minhash_verified_pairs / simhash_pairs /
+substring_pairs / corpus_dup_lines / clean_dup_lines once at sf0.1
 (5k docs) and once at an sf1-equivalent 50k-doc corpus, recording walls,
 output rows, and shuffle bytes — direct evidence the capped-join shapes
 hold off the sf0.1 operating point (walls ~linear in rows, no bucket-cap
@@ -45,7 +46,16 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from quarrycore_spark.session import get_spark  # noqa: E402
 
-QUERIES = ("minhash_verified_pairs", "simhash_pairs", "substring_pairs")
+# pair family (VERDICT r6 #6) + the round-7 line-dedup family, whose
+# explode + two-stage count-distinct agg + line join is the same
+# shape class the probe exists to validate off the sf0.1 point.
+QUERIES = (
+    "minhash_verified_pairs",
+    "simhash_pairs",
+    "substring_pairs",
+    "corpus_dup_lines",
+    "clean_dup_lines",
+)
 UI_PORT = 4077
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
