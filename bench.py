@@ -119,6 +119,8 @@ HEADLINE = [
     "event_props_metadata",
     "stratified_sample",
     "windowed_event_counts",
+    "gopher_quality_flags",
+    "c4_line_filter",
 ]
 
 T0 = time.time()

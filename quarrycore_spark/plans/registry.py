@@ -1125,11 +1125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registration side-effect modules (import at bottom to avoid cycles).
 from quarrycore_spark.plans import (  # noqa: E402,F401
     asof,
+    c4,
     classify,
     decontam,
     domops,
     dsops,
     funnel,
+    gopher,
     heavyhitters,
     incremental,
     linkgraph,
