@@ -231,17 +231,28 @@ def main() -> None:
     # unlucky draw whipsaws the record ±4× between rounds (VERDICT r4 #2).
     # min-over-draws is the same estimator the scaling legs use. Cost:
     # < 60 s over the whole headline set.
+    # Timed action is a noop-format write, NOT count(): count() lets
+    # Catalyst prune the final row-preserving joins and projections, so a
+    # query whose tail is `_aug LEFT JOIN _hits` (decontaminate) timed as
+    # a bare corpus scan — 0.2 s recorded for a 1.5 s query. The noop sink
+    # materializes every row and column end-to-end with zero driver
+    # transfer; the row count is taken untimed afterwards for the audit
+    # line only.
+    def _materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
     for name in HEADLINE:
         q = registry.REGISTRY[name]
         t0 = time.time()
         df = q.run_spark(spark, SF_DIR)
-        n = df.count()  # materialize the full plan
+        _materialize(df)
         wall = time.time() - t0
         if wall < 10.0:
             t1 = time.time()
-            q.run_spark(spark, SF_DIR).count()
+            _materialize(q.run_spark(spark, SF_DIR))
             wall = min(wall, time.time() - t1)
         RESULT["queries"][name] = round(wall, 3)
+        n = df.count()  # untimed, diagnostics only
         print(f"# {name}: {n} rows in {RESULT['queries'][name]}s", file=sys.stderr)
 
     # --- pipeline throughput on a deterministic pages corpus ----------------

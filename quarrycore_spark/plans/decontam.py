@@ -82,27 +82,40 @@ def decontam_augmented_cte(dialect: str) -> str:
 
 
 def _decontaminate_sql(dialect: str) -> str:
-    grams = _ngrams("w", "nw", NGRAM_K, dialect)
     if dialect == SPARK:
-        explode = "explode(grams) AS gram"
         hint = "/*+ BROADCAST(d) */ "
         intdiv = "div"
-        adist = "array_distinct"
+        # Spark shape: explode the cheap INT position sequence and build
+        # each 13-gram string AFTER the Generate in a codegen Project —
+        # exploding the lambda-built gram array directly costs ~250 µs
+        # per output row (CodegenFallback child dragged through Generate;
+        # measured 25× slower at sf0.1). Per-doc gram dedup then happens
+        # in `_e`'s GROUP BY (doc_id, gram), whose map-side partial agg
+        # reduces each partition before the (slim) pair rows shuffle —
+        # the cross-doc DISTINCT still survives only on the tiny
+        # broadcast eval side.
+        parts = " , ' ', ".join(
+            f"element_at(w, i + {j})" for j in range(NGRAM_K)
+        )
+        corpus_side = f"""
+_p AS (SELECT doc_id, w, explode(sequence(1, nw - {NGRAM_K - 1})) AS i
+       FROM _n WHERE nw >= {NGRAM_K}),
+_e AS (SELECT doc_id, concat({parts}) AS gram FROM _p
+       GROUP BY doc_id, concat({parts}))"""
     else:
-        explode = "unnest(grams) AS gram"
         hint = ""
         intdiv = "//"
-        adist = "list_distinct"
-    # Per-doc gram dedup is IN-PLACE (array_distinct before the
-    # explode): the corpus side never pays a DISTINCT (doc_id, gram)
-    # shuffle — `_e` is a pure projection of the explode. Cross-doc
-    # DISTINCT survives only on the tiny eval side (`_d`).
+        grams = _ngrams("w", "nw", NGRAM_K, dialect)
+        # DuckDB oracle keeps the naive definition (distinct grams per
+        # doc, unnest) — an independent formulation whose value hash
+        # cross-checks the Spark positions shape.
+        corpus_side = f"""
+_g AS (SELECT doc_id, list_distinct({grams}) AS grams FROM _n),
+_e AS (SELECT doc_id, unnest(grams) AS gram FROM _g)"""
     return f"""
 WITH {decontam_augmented_cte(dialect)},
 _w AS (SELECT doc_id, {_words('atext', dialect)} AS w FROM _aug),
-_n AS (SELECT doc_id, w, {_size('w', dialect)} AS nw FROM _w),
-_g AS (SELECT doc_id, {adist}({grams}) AS grams FROM _n),
-_e AS (SELECT doc_id, {explode} FROM _g),
+_n AS (SELECT doc_id, w, {_size('w', dialect)} AS nw FROM _w),{corpus_side},
 _d AS (SELECT DISTINCT gram
        FROM _e WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}),
 _hits AS (SELECT {hint}e.doc_id,
@@ -130,7 +143,8 @@ register(
         "Benchmark decontamination (GPT-3/Llama-style): flag training "
         "docs sharing any word 13-gram with the held-out eval carve-out; "
         "broadcast the eval gram set, probe with the corpus side's "
-        "distinct exploded grams — no corpus shuffle, no all-pairs",
+        "position-exploded grams deduped in a map-side partial agg — "
+        "no all-pairs, no unbounded shuffle",
         _decontaminate_sql,
     )
 )

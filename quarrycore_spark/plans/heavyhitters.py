@@ -15,12 +15,14 @@ doc_id div 4 parity — each sentence contributes its trigrams to ~1/8
 of the corpus, guaranteeing the planted phrases dominate the top-K at
 every sf while the natural tail stays visible behind them.
 
-100-TB shape: per-doc dedup happens IN-PLACE (`array_distinct` before
-the explode — no corpus-wide DISTINCT shuffle of (doc_id, gram)
-pairs), then ONE two-stage hash count whose map-side partial reduces
-each partition to (gram, count) before anything moves, and the final
-ORDER BY ... LIMIT K is Spark's TakeOrderedAndProject (a per-partition
-top-K merged on the driver, never a full sort). The (count DESC,
+100-TB shape: the Spark side explodes the cheap INT position sequence
+and builds each gram string AFTER the Generate in a codegen Project
+(exploding the lambda-built gram array directly is ~50 µs/row
+interpreted — measured 10× slower), then counts doc frequency with ONE
+count(DISTINCT doc_id) agg whose partial (gram, doc_id) dedup runs
+map-side before anything shuffles, and the final ORDER BY ... LIMIT K
+is Spark's TakeOrderedAndProject (a per-partition top-K merged on the
+driver, never a full sort). The (count DESC,
 gram ASC) tie-break makes the K-boundary deterministic.
 """
 
@@ -44,26 +46,47 @@ SENTENCES = [
 
 
 def _heavy_hitter_sql(dialect: str) -> str:
-    grams = _ngrams("w", "nw", NGRAM_K, dialect)
-    if dialect == SPARK:
-        explode = "explode(grams) AS gram"
-        d = "div"
-        adist = "array_distinct"
-    else:
-        explode = "unnest(grams) AS gram"
-        d = "//"
-        adist = "list_distinct"
+    d = "div" if dialect == SPARK else "//"
     plant = (
         f"CASE WHEN doc_id % {PLANT_MOD} = {PLANT_RESIDUE} THEN "
         f"chr(10) || (CASE WHEN (doc_id {d} {PLANT_MOD}) % 2 = 0 "
         f"THEN '{SENTENCES[0]}' ELSE '{SENTENCES[1]}' END) ELSE '' END"
     )
+    if dialect == SPARK:
+        # Spark shape: explode the cheap INT position sequence and build
+        # each gram string AFTER the Generate, in a codegen Project.
+        # Exploding the lambda-built gram array directly costs ~50 µs per
+        # output row (the higher-order-function child is CodegenFallback
+        # and Generate drags the whole array through every emitted row) —
+        # measured 10× slower at sf0.1. Per-doc dedup moves into
+        # count(DISTINCT doc_id), whose partial (gram, doc_id) dedup
+        # happens map-side before anything shuffles.
+        gram = (
+            "concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', "
+            "element_at(w, i + 2))"
+        )
+        return f"""
+WITH _aug AS (SELECT doc_id, text || {plant} AS atext FROM documents),
+_w AS (SELECT doc_id, {_words('atext', SPARK)} AS w FROM _aug),
+_n AS (SELECT doc_id, w, size(w) AS nw FROM _w WHERE size(w) >= {NGRAM_K}),
+_p AS (SELECT doc_id, w, explode(sequence(1, nw - {NGRAM_K - 1})) AS i FROM _n),
+_x AS (SELECT doc_id, {gram} AS gram FROM _p),
+_cnt AS (SELECT gram, count(DISTINCT doc_id) AS doc_freq FROM _x GROUP BY gram)
+SELECT gram, cast(doc_freq AS int) AS doc_freq
+FROM _cnt
+ORDER BY doc_freq DESC, gram
+LIMIT {TOP_K}
+"""
+    # DuckDB oracle keeps the naive definition (distinct grams per doc,
+    # unnest, plain count) — an independent formulation whose value hash
+    # cross-checks the Spark shape's count(DISTINCT doc_id) equivalence.
+    grams = _ngrams("w", "nw", NGRAM_K, dialect)
     return f"""
 WITH _aug AS (SELECT doc_id, text || {plant} AS atext FROM documents),
 _w AS (SELECT doc_id, {_words('atext', dialect)} AS w FROM _aug),
 _n AS (SELECT doc_id, w, {_size('w', dialect)} AS nw FROM _w),
-_g AS (SELECT doc_id, {adist}({grams}) AS grams FROM _n),
-_x AS (SELECT doc_id, {explode} FROM _g),
+_g AS (SELECT doc_id, list_distinct({grams}) AS grams FROM _n),
+_x AS (SELECT doc_id, unnest(grams) AS gram FROM _g),
 _cnt AS (SELECT gram, count(*) AS doc_freq FROM _x GROUP BY gram)
 SELECT gram, cast(doc_freq AS int) AS doc_freq
 FROM _cnt
