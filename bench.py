@@ -121,6 +121,7 @@ HEADLINE = [
     "windowed_event_counts",
     "gopher_quality_flags",
     "c4_line_filter",
+    "url_revisions",
 ]
 
 T0 = time.time()

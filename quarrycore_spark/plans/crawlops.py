@@ -1,0 +1,91 @@
+"""Per-URL crawl-revision census (CDX-style), as a paired Spark/DuckDB
+query.
+
+Recurring crawls of the Common-Crawl shape store one record per
+(url, warc_ts) fetch; the index-side dedup axis is *revisit analysis*:
+for each URL, how many times was it crawled, how many DISTINCT content
+versions did those crawls see, and which crawl is the latest? A stable
+URL (same content hash every visit) needs only one stored copy plus
+revisit records — the `response`-vs-`revisit` distinction in the CDX /
+WARC ecosystem — while a churning URL invalidates cached copies.
+Complements `incremental_dedup` (content-level dump-over-dump probe):
+this is the URL-keyed longitudinal view the crawl scheduler consumes
+(re-crawl priority ∝ observed change rate).
+
+Synthesis device: the driver ships neither url nor warc_ts, so both are
+deterministic closed forms of doc_id. j = doc_id div 3 keys the URL
+(three crawls per URL: c = doc_id % 3), crawl_ts = 1,700,000,000 +
+j·1000 + c·100 (unique per crawl, BIGINT epoch seconds — the
+no-floats/no-timestamp-type rule), and the fetched content follows the
+URL's churn class j % 3:
+  class 0 — churning: every crawl sees a new version  (3 distinct)
+  class 1 — stable:   every crawl sees version 0      (1 distinct)
+  class 2 — changed once: versions 0, 1, 1            (2 distinct)
+The REAL normalize→sha256 content-hash contract (functions/dialect.py)
+runs over the synthesized content in BOTH dialects, so the driver
+hashes actual revisit decisions, not the closed form.
+
+100-TB shape: one projection (url/ts/content render + hash) fused into
+the scan, then the standard two-phase distinct-agg: a partial
+(url, chash) dedup runs map-side before the exchange, the merge rides
+a (url, chash) exchange, and the url rollup (count, changed flag,
+max_by latest pick, ts span) rides the final url exchange — two slim
+exchanges, no join, scan pruned to doc_id alone. URL is a hash key
+whose cardinality grows with the corpus; no skew beyond AQE's reach.
+"""
+
+from __future__ import annotations
+
+from quarrycore_spark.functions.dialect import SPARK, content_hash, norm_text
+from quarrycore_spark.plans.registry import Query, register
+
+CRAWLS_PER_URL = 3
+TS_BASE = 1_700_000_000
+
+
+def _url_revisions_sql(dialect: str) -> str:
+    d = "div" if dialect == SPARK else "//"
+    cast_str = "STRING" if dialect == SPARK else "VARCHAR"
+    maxby = "max_by" if dialect == SPARK else "arg_max"
+    j = f"(doc_id {d} {CRAWLS_PER_URL})"
+    c = f"(doc_id % {CRAWLS_PER_URL})"
+    # Version seen by crawl c of url j, per churn class j % 3.
+    version = (
+        f"CASE WHEN {j} % 3 = 0 THEN {c} "
+        f"WHEN {j} % 3 = 1 THEN 0 "
+        f"ELSE (CASE WHEN {c} = 0 THEN 0 ELSE 1 END) END"
+    )
+    url = (
+        f"concat('https://site', cast({j} % 7 AS {cast_str}), "
+        f"'.example.com/post-', cast({j} AS {cast_str}))"
+    )
+    content = (
+        f"concat('Crawled page body for post ', cast({j} AS {cast_str}), "
+        f"' version ', cast({version} AS {cast_str}), '. End.')"
+    )
+    return f"""
+WITH _crawls AS (
+  SELECT doc_id,
+         {url} AS url,
+         cast({TS_BASE} + {j} * 1000 + {c} * 100 AS BIGINT) AS crawl_ts,
+         {content_hash(norm_text(content, dialect), dialect)} AS chash
+  FROM documents)
+SELECT url,
+       cast(count(*) AS int) AS n_crawls,
+       cast(count(DISTINCT chash) AS int) AS n_versions,
+       cast(CASE WHEN count(DISTINCT chash) > 1 THEN 1 ELSE 0 END AS int)
+           AS changed,
+       {maxby}(doc_id, crawl_ts) AS latest_doc_id,
+       max(crawl_ts) AS latest_ts,
+       cast(max(crawl_ts) - min(crawl_ts) AS BIGINT) AS span_s
+FROM _crawls
+GROUP BY url
+"""
+
+
+register(Query(
+    "url_revisions",
+    "CDX-style per-URL crawl-revision census: crawls, distinct content "
+    "versions, change flag, latest pick — one hash agg on the url key",
+    _url_revisions_sql,
+))

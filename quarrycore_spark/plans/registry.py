@@ -1127,6 +1127,7 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     asof,
     c4,
     classify,
+    crawlops,
     decontam,
     domops,
     dsops,
