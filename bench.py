@@ -122,6 +122,8 @@ HEADLINE = [
     "gopher_quality_flags",
     "c4_line_filter",
     "url_revisions",
+    "source_token_budget",
+    "url_blocklist_filter",
 ]
 
 T0 = time.time()

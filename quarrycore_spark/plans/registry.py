@@ -1139,11 +1139,13 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     mediaops,
     metaextract,
     metaops,
+    mixture,
     packing,
     rarity,
     repetition,
     structops,
     textops,
+    urlfilter,
     urlops,
     vectorops,
 )
