@@ -45,9 +45,12 @@ _tot AS (SELECT sum(tokens) AS total_tokens,
 SELECT p.source,
        cast(p.n_docs AS int) AS n_docs,
        cast(p.tokens AS BIGINT) AS tokens,
-       cast((p.tokens * 1000) {d} t.total_tokens AS int) AS share_milli,
-       cast((1000 * t.total_tokens) {d} (t.n_sources * p.tokens) AS int)
-           AS weight_milli
+       cast(CASE WHEN t.total_tokens = 0 THEN 0
+                 ELSE (p.tokens * 1000) {d} t.total_tokens END AS int)
+           AS share_milli,
+       cast(CASE WHEN p.tokens = 0 THEN 0
+                 ELSE (1000 * t.total_tokens) {d} (t.n_sources * p.tokens)
+            END AS int) AS weight_milli
 FROM _per p CROSS JOIN _tot t
 """
 

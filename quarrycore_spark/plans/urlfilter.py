@@ -51,11 +51,8 @@ def _url_blocklist_filter(dialect: str) -> str:
         f"'/post-', cast({j} AS {cast_str}))"
     )
     # Host between '://' and the first '/' after it — the real parse,
-    # not the closed form.
-    if dialect == SPARK:
-        host = r"regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
-    else:
-        host = r"regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
+    # not the closed form (same regexp syntax in both engines).
+    host = r"regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
     domain_hit = " OR ".join(f"host = '{b}'" for b in BLOCKED_DOMAINS)
     keyword_hit = " OR ".join(
         f"url LIKE '%/{k}/%'" for k in BLOCKED_KEYWORDS
