@@ -35,6 +35,30 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_url_dedup(
+    pages_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Within-watermark URL-level dedup: one row per canonical URL.
+
+    The streaming form of the batch `url_dedup` tier — the crawl
+    frontier's cheapest duplicate screen, firing BEFORE extraction (the
+    content never needs hashing when the canonical URL was already seen
+    this window). Normalization is the same codegen projection chain as
+    the batch path (functions/urlnorm.py — single source of truth), so
+    the streaming and batch tiers can never disagree on what "the same
+    URL" means. State is one row per canonical URL bounded by the
+    watermark; late arrivals beyond it are dropped, exactly like the
+    content-hash variant above.
+    """
+    from quarrycore_spark.functions.urlnorm import with_canonical_url
+
+    canon = with_canonical_url(pages_stream)
+    return (
+        canon.withWatermark("warc_ts", watermark)
+        .dropDuplicates(["canonical_url"])
+    )
+
+
 class ForeachBatchDedup:
     """Cross-batch exact dedup with a persistent seen-hash state table.
 

@@ -44,6 +44,51 @@ def test_streaming_watermark_dedup(spark, pages_parquet, tmp_path):
     assert got["n"] < len(rows)  # corpus contains dup groups
 
 
+def test_streaming_url_dedup_canonical_groups(spark, tmp_path):
+    from quarrycore_spark.streaming.dedup_stream import streaming_url_dedup
+
+    # 3 messy variants per canonical URL x 40 groups: www prefix, default
+    # port, fragment, and tracking params must all collapse in-stream.
+    rows = []
+    ts = "2025-01-01 00:00:{:02d}"
+    for g in range(40):
+        host = f"site{g % 5}.example.com"
+        path = f"/a/post-{g}"
+        rows += [
+            (3 * g, f"http://{host}{path}", ts.format(g % 60)),
+            (3 * g + 1, f"http://www.{host}{path}#frag", ts.format(g % 60)),
+            (3 * g + 2, f"http://{host}:80{path}?utm_source=x",
+             ts.format(g % 60)),
+        ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts string")
+    df = df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "urls")
+    df.write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    q = (
+        streaming_url_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("url_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck_url"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "select count(*) n, count(distinct canonical_url) d from url_dedup_out"
+    ).collect()[0]
+    assert got.n == 40  # one survivor per canonical group
+    assert got.d == 40
+    # and the canonical forms carry none of the messy noise
+    urls = [r.canonical_url for r in spark.sql(
+        "select canonical_url from url_dedup_out").collect()]
+    for u in urls:
+        assert "www." not in u and "#" not in u and "utm_" not in u
+        assert ":80" not in u
+
+
 def test_foreach_batch_cross_batch_dedup(spark, pages_parquet, tmp_path):
     from quarrycore_spark.streaming.dedup_stream import ForeachBatchDedup
 
