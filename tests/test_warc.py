@@ -1,0 +1,97 @@
+"""WARC source: record grammar, multi-member gzip, dead-letters, and
+pipeline hand-off."""
+
+from __future__ import annotations
+
+import gzip
+
+from quarrycore_spark.sources.warc import parse_warc_records, read_warc
+
+
+def _record(rtype: str, url: str | None, date: str, block: bytes) -> bytes:
+    headers = [f"WARC/1.0", f"WARC-Type: {rtype}", f"WARC-Date: {date}"]
+    if url is not None:
+        headers.append(f"WARC-Target-URI: {url}")
+    headers.append(f"Content-Length: {len(block)}")
+    return (
+        "\r\n".join(headers).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+    )
+
+
+def _http(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+
+
+def _make_warc(n: int) -> bytes:
+    out = [_record("warcinfo", None, "2025-03-01T00:00:00Z", b"info: x")]
+    for i in range(n):
+        url = f"https://site{i % 3}.example.com/p{i}"
+        date = f"2025-03-01T00:00:{i % 60:02d}Z"
+        body = f"<html><body><p>page {i} body text</p></body></html>".encode()
+        out.append(_record("request", url, date, b"GET /"))
+        out.append(_record("response", url, date, _http(body)))
+    return b"".join(out)
+
+
+def test_parser_grammar_and_skips():
+    recs = list(parse_warc_records(_make_warc(5)))
+    pages = [r for r in recs if r.get("url") and "warc_error" not in r]
+    assert len(pages) == 5  # warcinfo + requests skipped
+    assert pages[2]["url"] == "https://site2.example.com/p2"
+    assert b"page 2 body text" in pages[2]["html"]
+    assert b"HTTP/1.1" not in pages[2]["html"]  # HTTP headers stripped
+    assert pages[3]["warc_ts"].second == 3
+
+
+def test_parser_dead_letters():
+    good = _make_warc(2)
+    bad_len = _record("response", "https://x.example.com/",
+                      "2025-03-01T00:00:00Z", _http(b"<p>x</p>"))
+    bad_len = bad_len.replace(b"Content-Length: ", b"Content-Length: nope", 1)
+    bad_date = _record("response", "https://y.example.com/",
+                       "not-a-date", _http(b"<p>y</p>"))
+    recs = list(parse_warc_records(good + bad_len + bad_date))
+    pages = [r for r in recs if r.get("url") and "warc_error" not in r]
+    errs = [r for r in recs if "warc_error" in r]
+    assert len(pages) == 2
+    assert any("bad headers" in e["warc_error"] for e in errs)
+    assert any("bad WARC-Date" in e["warc_error"] for e in errs)
+
+
+def test_read_warc_plain_and_multimember_gzip(spark, tmp_path):
+    raw = _make_warc(12)
+    (tmp_path / "a.warc").write_bytes(raw)
+    # Common-Crawl convention: each record its own gzip member.
+    members = b"".join(
+        gzip.compress(bytes(r) + b"")
+        for r in [_make_warc(7)[i:i + 4096] for i in range(0, len(_make_warc(7)), 4096)]
+    )
+    (tmp_path / "b.warc.gz").write_bytes(members)
+    df = read_warc(spark, str(tmp_path / "*.warc*"))
+    rows = df.collect()
+    pages = [r for r in rows if r.url is not None and r.warc_error is None]
+    assert len(pages) == 12 + 7
+    assert all(r.warc_ts is not None for r in pages)
+    assert all(b"body text" in bytes(r.html) for r in pages)
+
+
+def test_warc_pages_flow_into_extraction(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from quarrycore_spark.extraction.canonical import extract_pages
+
+    (tmp_path / "c.warc").write_bytes(_make_warc(6))
+    pages = (
+        read_warc(spark, str(tmp_path / "c.warc"))
+        .filter(F.col("url").isNotNull())
+        .withColumn("text", F.lit(None).cast("string"))
+        .withColumn("lang", F.lit("en"))
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+    out = extract_pages(pages).collect()
+    assert len(out) == 6
+    for r in out:
+        assert "body text" in r.extracted_text
+        assert r.extract_error is None
