@@ -17,7 +17,8 @@ Differences by design (SURVEY §3.1 "Spark translation"):
 
 Run it standalone:
     spark-submit --py-files quarrycore_spark.zip -m quarrycore_spark.plans.pipeline \
-        (or: python -m quarrycore_spark.plans.pipeline OUT_DIR [N_PAGES])
+        (or: python -m quarrycore_spark.plans.pipeline OUT_DIR
+             [N_PAGES | --warc '/data/*.warc.gz' | --pages /data/pages])
 """
 
 from __future__ import annotations
@@ -460,16 +461,38 @@ def run_pipeline(
 
 
 def main() -> None:
+    """CLI: OUT_DIR [N_PAGES | --warc GLOB | --pages PATH].
+
+    Input modes: the deterministic synthetic corpus (default, N_PAGES
+    rows), real Common-Crawl WARC files (``--warc '/data/*.warc.gz'`` —
+    sources/warc.py, one file per task), or a pre-built pages parquet
+    (``--pages /data/pages`` with the input_hint schema)."""
     import sys
+
+    from pyspark.sql import functions as F
 
     from quarrycore_spark.session import ensure_py_files, get_spark
     from quarrycore_spark.sources.corpus import generate_pages, pages_dataframe
 
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/quarrycore_pipeline"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    args = sys.argv[2:]
     spark = get_spark("quarrycore-pipeline")
     ensure_py_files(spark)
-    pages = pages_dataframe(spark, generate_pages(n))
+    if args and args[0] == "--warc":
+        from quarrycore_spark.sources.warc import read_warc
+
+        pages = (
+            read_warc(spark, args[1])
+            .filter(F.col("url").isNotNull())  # dead-letters stay behind
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("lang", F.lit(None).cast("string"))
+            .select("url", "warc_ts", "html", "text", "lang")
+        )
+    elif args and args[0] == "--pages":
+        pages = spark.read.parquet(args[1])
+    else:
+        n = int(args[0]) if args else 2000
+        pages = pages_dataframe(spark, generate_pages(n))
     res = run_pipeline(spark, pages, out_dir)
     print(json.dumps(res.metrics, indent=1))
 

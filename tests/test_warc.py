@@ -95,3 +95,25 @@ def test_warc_pages_flow_into_extraction(spark, tmp_path):
     for r in out:
         assert "body text" in r.extracted_text
         assert r.extract_error is None
+
+
+def test_pipeline_cli_warc_mode(tmp_path):
+    """The spark-submit surface: OUT_DIR --warc GLOB runs the full
+    dedup pipeline over parsed WARC pages in a fresh process."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    (tmp_path / "seg.warc").write_bytes(_make_warc(20))
+    out_dir = tmp_path / "out"
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, "-m", "quarrycore_spark.plans.pipeline",
+         str(out_dir), "--warc", str(tmp_path / "*.warc")],
+        capture_output=True, text=True, timeout=240, env=env, cwd="/tmp",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.loads(proc.stdout[proc.stdout.index("["):])
+    summary = [m for m in metrics if m.get("stage") == "summary"][0]
+    assert summary["total_docs"] == 20
