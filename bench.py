@@ -124,6 +124,7 @@ HEADLINE = [
     "url_revisions",
     "source_token_budget",
     "url_blocklist_filter",
+    "cdx_index",
 ]
 
 T0 = time.time()

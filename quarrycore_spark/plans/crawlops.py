@@ -89,3 +89,74 @@ register(Query(
     "versions, change flag, latest pick — one hash agg on the url key",
     _url_revisions_sql,
 ))
+
+
+def _cdx_index_sql(dialect: str) -> str:
+    """CDX(J) capture index: one line per (SURT key, timestamp) capture.
+
+    Web archives locate captures through a CDX index keyed by the SURT
+    form of the URL (Sort-friendly URI Reordering Transform: host
+    components reversed and comma-joined, then the path — so one domain's
+    captures sort contiguously) plus the 14-digit capture timestamp and a
+    content digest. This emits that index for the same synthesized crawl
+    records `url_revisions` censuses: the REAL host parse + SURT
+    transform + digest run in BOTH dialects (the oracle does not use the
+    closed form). Pure codegen projection — rendering an index for 10^12
+    captures is one scan; the archive-side sort is the consumer's
+    (writer's) concern, not the operator's.
+    """
+    d = "div" if dialect == SPARK else "//"
+    cast_str = "STRING" if dialect == SPARK else "VARCHAR"
+    j = f"(doc_id {d} {CRAWLS_PER_URL})"
+    c = f"(doc_id % {CRAWLS_PER_URL})"
+    version = (
+        f"CASE WHEN {j} % 3 = 0 THEN {c} "
+        f"WHEN {j} % 3 = 1 THEN 0 "
+        f"ELSE (CASE WHEN {c} = 0 THEN 0 ELSE 1 END) END"
+    )
+    url = (
+        f"concat('https://site', cast({j} % 7 AS {cast_str}), "
+        f"'.example.com/post-', cast({j} AS {cast_str}))"
+    )
+    content = (
+        f"concat('Crawled page body for post ', cast({j} AS {cast_str}), "
+        f"' version ', cast({version} AS {cast_str}), '. End.')"
+    )
+    host = r"regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
+    path = r"regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1)"
+    if dialect == SPARK:
+        surt_host = "array_join(reverse(split(host, '\\\\.')), ',')"
+    else:
+        surt_host = "array_to_string(list_reverse(string_split(host, '.')), ',')"
+    # 14-digit CDX timestamp from the integer epoch (no timestamp type —
+    # the no-floats rule): YYYYMMDDhhmmss via integer field extraction
+    # would re-derive a calendar; both engines share from_unixtime-style
+    # rendering instead, pinned to UTC by the session/engine defaults.
+    if dialect == SPARK:
+        ts14 = "date_format(to_timestamp(crawl_ts), 'yyyyMMddHHmmss')"
+    else:
+        ts14 = "strftime(to_timestamp(crawl_ts), '%Y%m%d%H%M%S')"
+    return f"""
+WITH _crawls AS (
+  SELECT doc_id,
+         {url} AS url,
+         cast({TS_BASE} + {j} * 1000 + {c} * 100 AS BIGINT) AS crawl_ts,
+         {content_hash(norm_text(content, dialect), dialect)} AS chash
+  FROM documents),
+_h AS (SELECT doc_id, url, crawl_ts, chash, {host} AS host, {path} AS path
+       FROM _crawls)
+SELECT doc_id,
+       concat({surt_host}, ')', path) AS surt_key,
+       {ts14} AS ts14,
+       substr(chash, 1, 16) AS digest16,
+       url
+FROM _h
+"""
+
+
+register(Query(
+    "cdx_index",
+    "CDX(J) capture index: SURT key (reversed host + path), 14-digit "
+    "timestamp, content digest per capture — one codegen projection",
+    _cdx_index_sql,
+))

@@ -66,3 +66,35 @@ def test_agg_only_plan(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_cdx_index_surt_and_timestamp(spark):
+    import re
+    from datetime import datetime, timezone
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["cdx_index"].run_spark(spark, SF_SMOKE).collect()
+    ]
+    assert rows
+    for r in rows:
+        j = r["doc_id"] // CRAWLS_PER_URL
+        c = r["doc_id"] % CRAWLS_PER_URL
+        # SURT: reversed host components, ')' separator, then the path.
+        assert r["surt_key"] == f"com,example,site{j % 7})/post-{j}"
+        assert re.fullmatch(r"\d{14}", r["ts14"])
+        epoch = TS_BASE + j * 1000 + c * 100
+        want = datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
+            "%Y%m%d%H%M%S"
+        )
+        assert r["ts14"] == want
+        assert re.fullmatch(r"[0-9a-f]{16}", r["digest16"])
+    # the SURT property: one domain's captures sort contiguously
+    ordered = sorted(rows, key=lambda r: r["surt_key"])
+    hosts = [r["surt_key"].split(")")[0] for r in ordered]
+    seen, prev = set(), None
+    for h in hosts:
+        if h != prev:
+            assert h not in seen  # a host never reappears after a gap
+            seen.add(h)
+            prev = h
