@@ -65,3 +65,11 @@ def _dup_milli(total: str, uniq: str, dialect: str) -> str:
         f"cast(case when {total} = 0 then 0 "
         f"else (({total} - {uniq}) * 1000) {d} {total} end as int)"
     )
+
+
+def _sum_elem_lengths(arr: str, dialect: str) -> str:
+    """Total characters across a string-array's elements, 0 when empty
+    (shared by the Gopher mean-word-length and C4 kept-char-mass rules)."""
+    if dialect == SPARK:
+        return f"aggregate({arr}, 0L, (acc, x) -> acc + length(x))"
+    return f"coalesce(list_sum(list_transform({arr}, x -> length(x))), 0)"

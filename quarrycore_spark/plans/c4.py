@@ -36,7 +36,11 @@ document census.
 from __future__ import annotations
 
 from quarrycore_spark.functions.dialect import SPARK
-from quarrycore_spark.functions.textfrag import _lines, _size
+from quarrycore_spark.functions.textfrag import (
+    _lines,
+    _size,
+    _sum_elem_lengths,
+)
 from quarrycore_spark.plans.registry import Query, register
 
 MIN_WORDS_PER_LINE = 5
@@ -94,12 +98,6 @@ def _count_where(arr: str, cond: str, dialect: str) -> str:
     return f"cast(len(list_filter({arr}, x -> {cond})) as int)"
 
 
-def _sum_lengths(arr: str, dialect: str) -> str:
-    if dialect == SPARK:
-        return f"aggregate({arr}, 0L, (acc, x) -> acc + length(x))"
-    return f"coalesce(list_sum(list_transform({arr}, x -> length(x))), 0)"
-
-
 def _c4_line_filter(dialect: str) -> str:
     # Rule predicates as lambda conditions over a trimmed line `x`.
     if dialect == SPARK:
@@ -124,7 +122,7 @@ _r AS (SELECT doc_id,
               {_count_where('ln', f'NOT ({enough_words})', dialect)} AS n_short_lines,
               {_count_where('ln', f'NOT ({no_js})', dialect)} AS n_js_lines,
               {_size('kept', dialect)} AS n_kept_lines,
-              cast({_sum_lengths('kept', dialect)} as {cast_big}) AS kept_chars,
+              cast({_sum_elem_lengths('kept', dialect)} as {cast_big}) AS kept_chars,
               case when atext LIKE '%{{%' then 1 else 0 end AS has_brace,
               case when lower(atext) LIKE '%lorem ipsum%' then 1 else 0 end
                   AS has_lorem

@@ -43,10 +43,14 @@ CRAWLS_PER_URL = 3
 TS_BASE = 1_700_000_000
 
 
-def _url_revisions_sql(dialect: str) -> str:
+def _crawls_cte(dialect: str) -> str:
+    """CTE `_crawls`: (doc_id, url, crawl_ts, chash) — the ONE synthesis
+    of the crawl records that `url_revisions` and `cdx_index` both
+    census. Shared so the two operators can never drift apart on what a
+    capture is (same URL template, churn classes, timestamps, and the
+    real normalize→sha256 content hash)."""
     d = "div" if dialect == SPARK else "//"
     cast_str = "STRING" if dialect == SPARK else "VARCHAR"
-    maxby = "max_by" if dialect == SPARK else "arg_max"
     j = f"(doc_id {d} {CRAWLS_PER_URL})"
     c = f"(doc_id % {CRAWLS_PER_URL})"
     # Version seen by crawl c of url j, per churn class j % 3.
@@ -63,13 +67,18 @@ def _url_revisions_sql(dialect: str) -> str:
         f"concat('Crawled page body for post ', cast({j} AS {cast_str}), "
         f"' version ', cast({version} AS {cast_str}), '. End.')"
     )
-    return f"""
-WITH _crawls AS (
+    return f"""_crawls AS (
   SELECT doc_id,
          {url} AS url,
          cast({TS_BASE} + {j} * 1000 + {c} * 100 AS BIGINT) AS crawl_ts,
          {content_hash(norm_text(content, dialect), dialect)} AS chash
-  FROM documents)
+  FROM documents)"""
+
+
+def _url_revisions_sql(dialect: str) -> str:
+    maxby = "max_by" if dialect == SPARK else "arg_max"
+    return f"""
+WITH {_crawls_cte(dialect)}
 SELECT url,
        cast(count(*) AS int) AS n_crawls,
        cast(count(DISTINCT chash) AS int) AS n_versions,
@@ -105,44 +114,24 @@ def _cdx_index_sql(dialect: str) -> str:
     captures is one scan; the archive-side sort is the consumer's
     (writer's) concern, not the operator's.
     """
-    d = "div" if dialect == SPARK else "//"
-    cast_str = "STRING" if dialect == SPARK else "VARCHAR"
-    j = f"(doc_id {d} {CRAWLS_PER_URL})"
-    c = f"(doc_id % {CRAWLS_PER_URL})"
-    version = (
-        f"CASE WHEN {j} % 3 = 0 THEN {c} "
-        f"WHEN {j} % 3 = 1 THEN 0 "
-        f"ELSE (CASE WHEN {c} = 0 THEN 0 ELSE 1 END) END"
-    )
-    url = (
-        f"concat('https://site', cast({j} % 7 AS {cast_str}), "
-        f"'.example.com/post-', cast({j} AS {cast_str}))"
-    )
-    content = (
-        f"concat('Crawled page body for post ', cast({j} AS {cast_str}), "
-        f"' version ', cast({version} AS {cast_str}), '. End.')"
-    )
     host = r"regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
     path = r"regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1)"
     if dialect == SPARK:
         surt_host = "array_join(reverse(split(host, '\\\\.')), ',')"
     else:
         surt_host = "array_to_string(list_reverse(string_split(host, '.')), ',')"
-    # 14-digit CDX timestamp from the integer epoch (no timestamp type —
-    # the no-floats rule): YYYYMMDDhhmmss via integer field extraction
-    # would re-derive a calendar; both engines share from_unixtime-style
-    # rendering instead, pinned to UTC by the session/engine defaults.
+    # 14-digit CDX timestamp from the integer epoch. Spark renders under
+    # the session timezone (pinned to UTC by session.py AND the driver
+    # harness); DuckDB's to_timestamp() would render under the HOST
+    # timezone, so the oracle uses make_timestamp(µs) instead — a naive
+    # UTC timestamp whose strftime is timezone-independent (verified:
+    # identical output under TimeZone='America/New_York').
     if dialect == SPARK:
         ts14 = "date_format(to_timestamp(crawl_ts), 'yyyyMMddHHmmss')"
     else:
-        ts14 = "strftime(to_timestamp(crawl_ts), '%Y%m%d%H%M%S')"
+        ts14 = "strftime(make_timestamp(crawl_ts * 1000000), '%Y%m%d%H%M%S')"
     return f"""
-WITH _crawls AS (
-  SELECT doc_id,
-         {url} AS url,
-         cast({TS_BASE} + {j} * 1000 + {c} * 100 AS BIGINT) AS crawl_ts,
-         {content_hash(norm_text(content, dialect), dialect)} AS chash
-  FROM documents),
+WITH {_crawls_cte(dialect)},
 _h AS (SELECT doc_id, url, crawl_ts, chash, {host} AS host, {path} AS path
        FROM _crawls)
 SELECT doc_id,

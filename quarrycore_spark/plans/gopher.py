@@ -39,7 +39,13 @@ form of the operator: one corpus scan, flags out.
 from __future__ import annotations
 
 from quarrycore_spark.functions.dialect import SPARK
-from quarrycore_spark.functions.textfrag import _lines, _size, _words
+from quarrycore_spark.functions.plants import regexp_count
+from quarrycore_spark.functions.textfrag import (
+    _lines,
+    _size,
+    _sum_elem_lengths,
+    _words,
+)
 from quarrycore_spark.plans.registry import Query, register
 
 # Thresholds from Rae et al. 2021 table A1, in the units used here.
@@ -113,13 +119,6 @@ def gopher_augmented_cte(dialect: str, name: str = "_aug",
     )
 
 
-def _sum_word_chars(arr: str, dialect: str) -> str:
-    """Total characters across the word array, 0 when empty."""
-    if dialect == SPARK:
-        return f"aggregate({arr}, 0L, (acc, x) -> acc + length(x))"
-    return f"coalesce(list_sum(list_transform({arr}, x -> length(x))), 0)"
-
-
 def _count_matching(arr: str, pattern: str, dialect: str) -> str:
     """Number of array elements matching a regex."""
     if dialect == SPARK:
@@ -152,11 +151,9 @@ def _milli(num: str, den: str, dialect: str) -> str:
 def _gopher_quality_flags(dialect: str) -> str:
     lw = "lower(atext)"
     ellipsis_pat = r"(\\.\\.\\.|…)$" if dialect == SPARK else r"(\.\.\.|…)$"
-    # Symbols: '#' plus both ellipsis spellings, counted on the raw text.
-    if dialect == SPARK:
-        n_symbols = r"cast(regexp_count(atext, '#|\\.\\.\\.|…') as int)"
-    else:
-        n_symbols = r"cast(len(regexp_extract_all(atext, '#|\.\.\.|…')) as int)"
+    # Symbols: '#' plus both ellipsis spellings, counted on the raw text
+    # (the shared helper owns the per-dialect escaping rule).
+    n_symbols = regexp_count("atext", r"#|\.\.\.|…", dialect)
     flags = {
         "word_count_ok":
             f"case when nw between {MIN_WORDS} and {MAX_WORDS} "
@@ -191,7 +188,7 @@ _t AS (SELECT doc_id, atext,
 _m AS (SELECT doc_id,
               {_size('w', dialect)} AS nw,
               {_size('ln', dialect)} AS nl,
-              {_sum_word_chars('w', dialect)} AS word_chars,
+              {_sum_elem_lengths('w', dialect)} AS word_chars,
               {n_symbols} AS n_symbols,
               {_count_matching('ln', '^[-*•]', dialect)} AS n_bullet_lines,
               {_count_matching('ln', ellipsis_pat, dialect)} AS n_ellipsis_lines,

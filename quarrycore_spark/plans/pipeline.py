@@ -483,7 +483,9 @@ def main() -> None:
 
         pages = (
             read_warc(spark, args[1])
-            .filter(F.col("url").isNotNull())  # dead-letters stay behind
+            # dead-letters stay behind (bad-date rows keep their url, so
+            # the error column — not url — is the dead-letter marker)
+            .filter(F.col("warc_error").isNull() & F.col("url").isNotNull())
             .withColumn("text", F.lit(None).cast("string"))
             .withColumn("lang", F.lit(None).cast("string"))
             .select("url", "warc_ts", "html", "text", "lang")

@@ -21,8 +21,10 @@ its task, so a 1000-file crawl segment fans out to 1000 independent
 tasks with zero shuffle — exactly how a real cluster chews a crawl
 (CC's own convention: files are sized ~1 GB so per-task memory is
 bounded). Records stream out as (url, warc_ts, html); malformed records
-dead-letter as rows with NULL url and the error in `warc_error` instead
-of killing the task (the pipeline's S10 convention).
+dead-letter as rows with a non-NULL `warc_error` (url kept when known,
+so the dead-letter is actionable) instead of killing the task (the
+pipeline's S10 convention) — consumers select pages with
+``warc_error IS NULL``.
 
 Reference parity: the reference ingests live HTTP responses
 (crawler/http_client.py) and never reads WARC; this is the batch-world
@@ -81,6 +83,10 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
                 k, _, v = line.partition(":")
                 headers[k.strip().lower()] = v.strip()
             length = int(headers["content-length"])
+            if length < 0:
+                # A negative length would move `pos` BACKWARDS and re-find
+                # the same version line forever.
+                raise ValueError(f"negative Content-Length {length}")
         except (KeyError, ValueError) as e:
             yield {"warc_error": f"bad headers: {e}"}
             pos = hdr_end + 4
@@ -122,7 +128,8 @@ def _maybe_gunzip(path: str, content: bytes) -> bytes:
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC file(s)/glob → pages DataFrame (url, warc_ts, html,
-    warc_error). Rows with NULL url are dead-letters (S10), not pages."""
+    warc_error). Rows with non-NULL warc_error are dead-letters (S10),
+    not pages — filter ``warc_error IS NULL`` before the pipeline."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)

@@ -25,13 +25,19 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """Within-watermark exact dedup: one row per (content hash) per window.
 
-    Works on any streaming pages source (file, kafka, rate). State is
-    bounded by the watermark — the scale-safe default for unbounded input.
+    Works on any streaming pages source (file, kafka, rate). Uses
+    ``dropDuplicatesWithinWatermark`` — with plain ``dropDuplicates`` on a
+    key set that excludes the event-time column, Spark never evicts
+    dedup state and it grows one row per hash ever seen; the
+    within-watermark variant evicts each key after the watermark delay,
+    so state is genuinely bounded — the scale-safe default for unbounded
+    input (duplicates farther apart than the delay re-emit, which is the
+    documented windowed-dedup contract, not a bug).
     """
     extracted = extract_pages(pages_stream)  # emits content_hash directly
     return (
         extracted.withWatermark("warc_ts", watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )
 
 
@@ -46,16 +52,17 @@ def streaming_url_dedup(
     this window). Normalization is the same codegen projection chain as
     the batch path (functions/urlnorm.py — single source of truth), so
     the streaming and batch tiers can never disagree on what "the same
-    URL" means. State is one row per canonical URL bounded by the
-    watermark; late arrivals beyond it are dropped, exactly like the
-    content-hash variant above.
+    URL" means. State is one row per canonical URL seen within the
+    watermark delay and is EVICTED after it
+    (``dropDuplicatesWithinWatermark`` — see streaming_exact_dedup for
+    why plain dropDuplicates would grow state without bound).
     """
     from quarrycore_spark.functions.urlnorm import with_canonical_url
 
     canon = with_canonical_url(pages_stream)
     return (
         canon.withWatermark("warc_ts", watermark)
-        .dropDuplicates(["canonical_url"])
+        .dropDuplicatesWithinWatermark(["canonical_url"])
     )
 
 

@@ -117,3 +117,16 @@ def test_pipeline_cli_warc_mode(tmp_path):
     metrics = json.loads(proc.stdout[proc.stdout.index("["):])
     summary = [m for m in metrics if m.get("stage") == "summary"][0]
     assert summary["total_docs"] == 20
+
+
+def test_negative_content_length_terminates():
+    """A negative Content-Length must dead-letter and advance — not
+    re-find the same version line forever."""
+    bad = _record("response", "https://z.example.com/",
+                  "2025-03-01T00:00:00Z", _http(b"<p>z</p>"))
+    bad = bad.replace(b"Content-Length: ", b"Content-Length: -", 1)
+    recs = list(parse_warc_records(bad + _make_warc(1)))
+    errs = [r for r in recs if "warc_error" in r]
+    pages = [r for r in recs if r.get("url") and "warc_error" not in r]
+    assert len(pages) == 1  # the good record after the bad one
+    assert any("negative Content-Length" in e["warc_error"] for e in errs)

@@ -138,8 +138,9 @@ def main() -> None:
                 # would time as a bare scan.
                 df.write.format("noop").mode("overwrite").save()
                 wall = time.time() - t0
-                rows = df.count()  # untimed, for the rows ratio
                 rd1, wr1 = _shuffle_totals(app_id)
+                rows = df.count()  # untimed AND after the shuffle capture
+                # (the count re-execution must not inflate the deltas)
                 release_sigs(spark)  # drop the memoized signature frame
                 rec = {
                     "wall_s": round(wall, 2), "rows": rows, "docs": n_docs,
