@@ -125,6 +125,7 @@ HEADLINE = [
     "source_token_budget",
     "url_blocklist_filter",
     "cdx_index",
+    "robots_decisions",
 ]
 
 T0 = time.time()

@@ -1143,6 +1143,7 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     packing,
     rarity,
     repetition,
+    robots,
     structops,
     textops,
     urlfilter,
