@@ -126,6 +126,7 @@ HEADLINE = [
     "url_blocklist_filter",
     "cdx_index",
     "robots_decisions",
+    "anchor_text_stats",
 ]
 
 T0 = time.time()

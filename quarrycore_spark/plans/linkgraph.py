@@ -98,7 +98,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url("url", F.lit("HOST")).alias("src_domain"),
             F.explode("links").alias("l"),
         )
-        .select("doc_id", "src_domain", F.col("l.href").alias("href"))
+        .select(
+            "doc_id", "src_domain",
+            F.col("l.href").alias("href"),
+            F.col("l.text").alias("anchor_text"),
+        )
     )
     # Classify hrefs: absolute http(s) -> target host; site-relative path
     # -> the page's own host; everything else (mailto/javascript/#frag)
@@ -114,7 +118,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         links.withColumn("dst_domain", dst)
         .filter(F.col("dst_domain").isNotNull())
-        .select("src_domain", "dst_domain", "doc_id")
+        .select("src_domain", "dst_domain", "doc_id", "anchor_text")
     )
 
 
@@ -303,6 +307,90 @@ register(
         "runs on the domain-level edge list, not the corpus",
         _two_hop_domains,
         spark_fn=_spark_two_hop_domains,
+        tables=("documents",),
+    )
+)
+
+
+def _spark_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per target domain: anchor-text rollup from the REAL extraction.
+
+    Anchor text pointing AT a page is a classic quality/relevance signal
+    (it is how others describe the target — search engines and webtext
+    quality models both consume it). Shape: the per-(dst, text) count is
+    a two-stage hash agg riding the edge extraction's output; the winner
+    pick is ONE window over the (small) domain×distinct-text frame, and
+    the domain rollup rides the same exchange. Nothing here scales with
+    the corpus beyond the first agg's map-side partials.
+    """
+    from pyspark.sql import Window
+
+    per_text = (
+        _edges(spark, sf_dir)
+        .groupBy("dst_domain", "anchor_text")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dst_domain").orderBy(
+        F.col("n").desc(), F.col("anchor_text")
+    )
+    return (
+        per_text.withColumn("rn", F.row_number().over(w))
+        .groupBy("dst_domain")
+        .agg(
+            F.sum("n").cast("int").alias("n_anchors"),
+            F.count("*").cast("int").alias("n_distinct_texts"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor_text"))).alias(
+                "top_text"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("n"))).cast("int").alias(
+                "top_text_count"
+            ),
+        )
+    )
+
+
+def _anchor_text_stats(dialect: str) -> str:
+    """Oracle: the closed-form anchors — cross links carry text 't{j}',
+    self links 'self {k}' (render_link_html) — rolled up identically."""
+    site = "'site' || cast({n} as varchar) || '.example.com'"
+    src = site.format(n=f"doc_id % {N_SITES}")
+    dst = site.format(n=f"(doc_id + 3 * j + 1) % {N_SITES}")
+    return f"""
+WITH _abs AS (SELECT doc_id, unnest(range(0, cast(doc_id % 4 as int))) AS j
+              FROM documents),
+_self AS (SELECT doc_id,
+                 unnest(range(0, cast(1 + doc_id % 3 as int))) AS k
+          FROM documents),
+_anchors AS (
+  SELECT {dst} AS dst_domain, 't' || cast(j as varchar) AS anchor_text
+  FROM _abs
+  UNION ALL
+  SELECT {src} AS dst_domain, 'self ' || cast(k as varchar) AS anchor_text
+  FROM _self
+),
+_pt AS (SELECT dst_domain, anchor_text, count(*) AS n
+        FROM _anchors GROUP BY dst_domain, anchor_text),
+_rk AS (SELECT dst_domain, anchor_text, n,
+               row_number() OVER (PARTITION BY dst_domain
+                                  ORDER BY n DESC, anchor_text) AS rn
+        FROM _pt)
+SELECT dst_domain,
+       cast(sum(n) as int) AS n_anchors,
+       cast(count(*) as int) AS n_distinct_texts,
+       max(CASE WHEN rn = 1 THEN anchor_text END) AS top_text,
+       cast(max(CASE WHEN rn = 1 THEN n END) as int) AS top_text_count
+FROM _rk
+GROUP BY dst_domain
+"""
+
+
+register(
+    Query(
+        "anchor_text_stats",
+        "Per-target-domain anchor-text rollup (count, distinct texts, "
+        "dominant text) from REAL anchor extraction; arithmetic oracle",
+        _anchor_text_stats,
+        spark_fn=_spark_anchor_text_stats,
         tables=("documents",),
     )
 )
