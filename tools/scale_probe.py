@@ -20,7 +20,7 @@ so a 30-char L-gram is only ~5 words and two independently shuffled
 50-word docs collide on such runs by birthday chance; at 50k docs that
 yields 87.5k true containment pairs. This is a corpus property, not an
 operator artifact — and it makes the draw the STRONGER evidence: the
-capped gram join absorbed 81x output rows at 4.3x wall with shuffle
+capped gram join absorbs 81x output rows at ~3.5x wall with shuffle
 bytes growing 10x (input-bound, not pair-bound), i.e. no cap overflow
 and no quadratic blowup in the join itself.
 
