@@ -127,6 +127,7 @@ HEADLINE = [
     "cdx_index",
     "robots_decisions",
     "anchor_text_stats",
+    "domain_pagerank",
 ]
 
 T0 = time.time()

@@ -1141,6 +1141,7 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     metaops,
     mixture,
     packing,
+    pagerank,
     rarity,
     repetition,
     robots,
