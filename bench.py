@@ -128,6 +128,7 @@ HEADLINE = [
     "robots_decisions",
     "anchor_text_stats",
     "domain_pagerank",
+    "sitemap_entries",
 ]
 
 T0 = time.time()

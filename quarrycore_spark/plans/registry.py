@@ -1145,6 +1145,7 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
     rarity,
     repetition,
     robots,
+    sitemaps,
     structops,
     textops,
     urlfilter,
