@@ -149,3 +149,59 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(gen, PAGES_SCHEMA)
+
+
+def _render_record(url: str, ts, html: bytes) -> bytes:
+    """One WARC/1.0 response record wrapping the page bytes in a minimal
+    HTTP response (the reader's body split is the exact inverse)."""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\nContent-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def write_warc(df: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html) → one WARC file per partition under
+    `out_dir` (Common Crawl's sharding convention mirrored on write:
+    the file is the parallelism unit for any downstream reader).
+    `compress=True` gzips EACH record as its own member — the CC layout
+    that lets a reader seek to a record without decompressing the file.
+
+    Returns a (path, n_records) DataFrame — an ACTION-bearing frame the
+    caller must materialize (e.g. .collect()) to run the write, like
+    every mapInPandas sink.
+    """
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def sink(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
+        n = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for url, ts, html in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"]
+                ):
+                    rec = _render_record(str(url), ts, bytes(html))
+                    f.write(gzip.compress(rec) if compress else rec)
+                    n += 1
+        if n == 0:
+            os.remove(path)
+            yield pd.DataFrame({"path": [], "n_records": []})
+            return
+        yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    return df.select("url", "warc_ts", "html").mapInPandas(
+        sink, "path string, n_records long"
+    )

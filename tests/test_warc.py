@@ -130,3 +130,31 @@ def test_negative_content_length_terminates():
     pages = [r for r in recs if r.get("url") and "warc_error" not in r]
     assert len(pages) == 1  # the good record after the bad one
     assert any("negative Content-Length" in e["warc_error"] for e in errs)
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """pages -> write_warc (per-record gzip members) -> read_warc must
+    reproduce the exact (url, warc_ts, html) set."""
+    from datetime import datetime
+
+    from quarrycore_spark.sources.warc import write_warc
+
+    rows = [
+        (
+            f"https://site{i % 3}.example.com/w{i}",
+            datetime(2025, 4, 1, 12, 0, i % 60),
+            f"<html><body>roundtrip {i}</body></html>".encode(),
+        )
+        for i in range(25)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(3)
+    out_dir = str(tmp_path / "warcout")
+    manifest = write_warc(pages, out_dir).collect()
+    assert sum(m.n_records for m in manifest) == 25
+    assert all(m.path.endswith(".warc.gz") for m in manifest)
+    back = read_warc(spark, out_dir + "/*.warc.gz").collect()
+    got = {(r.url, r.warc_ts, bytes(r.html)) for r in back
+           if r.warc_error is None}
+    assert got == set(rows)
