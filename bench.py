@@ -129,6 +129,7 @@ HEADLINE = [
     "anchor_text_stats",
     "domain_pagerank",
     "sitemap_entries",
+    "crawl_schedule",
 ]
 
 T0 = time.time()

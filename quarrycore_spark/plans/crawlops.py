@@ -45,10 +45,10 @@ TS_BASE = 1_700_000_000
 
 def _crawls_cte(dialect: str) -> str:
     """CTE `_crawls`: (doc_id, url, crawl_ts, chash) — the ONE synthesis
-    of the crawl records that `url_revisions` and `cdx_index` both
-    census. Shared so the two operators can never drift apart on what a
-    capture is (same URL template, churn classes, timestamps, and the
-    real normalize→sha256 content hash)."""
+    of the crawl records that `url_revisions`, `cdx_index` and
+    `crawl_schedule` all census. Shared so the operators can never drift
+    apart on what a capture is (same URL template, churn classes,
+    timestamps, and the real normalize→sha256 content hash)."""
     d = "div" if dialect == SPARK else "//"
     cast_str = "STRING" if dialect == SPARK else "VARCHAR"
     j = f"(doc_id {d} {CRAWLS_PER_URL})"
@@ -148,4 +148,51 @@ register(Query(
     "CDX(J) capture index: SURT key (reversed host + path), 14-digit "
     "timestamp, content digest per capture — one codegen projection",
     _cdx_index_sql,
+))
+
+
+def _crawl_schedule_sql(dialect: str) -> str:
+    """Per-domain recrawl scheduling from observed change rates.
+
+    The consumer of `url_revisions`: a crawl scheduler allocates budget
+    by how often a domain's pages actually change (stable domains decay
+    to rare revisits, churning domains get priority — the classic
+    freshness-driven policy). Per domain: URLs tracked, URLs that
+    changed across snapshots, exact change rate in milli-units, and a
+    deterministic priority rank (change rate DESC, domain ASC).
+
+    Shape: the per-URL census is the same two-phase distinct agg as
+    `url_revisions` (shared `_crawls_cte` — one synthesis, three
+    consumers), the domain rollup is one more slim agg, and the rank is
+    ONE window over the domain frame (tiny by construction). No joins.
+    """
+    d = "div" if dialect == SPARK else "//"
+    host = r"regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
+    return f"""
+WITH {_crawls_cte(dialect)},
+_per_url AS (
+  SELECT {host} AS domain, url,
+         count(DISTINCT chash) AS n_versions
+  FROM _crawls GROUP BY {host}, url),
+_per_dom AS (
+  SELECT domain,
+         count(*) AS n_urls,
+         sum(CASE WHEN n_versions > 1 THEN 1 ELSE 0 END) AS n_changed
+  FROM _per_url GROUP BY domain)
+SELECT domain,
+       cast(n_urls AS int) AS n_urls,
+       cast(n_changed AS int) AS n_changed,
+       cast((n_changed * 1000) {d} n_urls AS int) AS change_milli,
+       cast(row_number() OVER (
+           ORDER BY (n_changed * 1000) {d} n_urls DESC, domain
+       ) AS int) AS priority_rank
+FROM _per_dom
+"""
+
+
+register(Query(
+    "crawl_schedule",
+    "Freshness-driven recrawl priorities: per-domain change rate from "
+    "the crawl-revision census + one rank window on the domain frame",
+    _crawl_schedule_sql,
 ))

@@ -98,3 +98,45 @@ def test_cdx_index_surt_and_timestamp(spark):
             assert h not in seen  # a host never reappears after a gap
             seen.add(h)
             prev = h
+
+
+def test_crawl_schedule_closed_form(spark):
+    import duckdb
+    from collections import defaultdict
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    rows = [
+        r.asDict()
+        for r in REGISTRY["crawl_schedule"].run_spark(spark, SF_SMOKE).collect()
+    ]
+    per_dom = defaultdict(lambda: [0, 0])  # domain -> [n_urls, n_changed]
+    for j in range((n_docs + CRAWLS_PER_URL - 1) // CRAWLS_PER_URL):
+        dom = f"site{j % 7}.example.com"
+        per_dom[dom][0] += 1
+        # classes 0 (churning) and 2 (changed-once) have >1 version —
+        # but only if >=2 crawls of this url exist in the corpus
+        n_crawls = min(CRAWLS_PER_URL, n_docs - j * CRAWLS_PER_URL)
+        versions = set()
+        for c in range(n_crawls):
+            if j % 3 == 0:
+                versions.add(c)
+            elif j % 3 == 1:
+                versions.add(0)
+            else:
+                versions.add(0 if c == 0 else 1)
+        if len(versions) > 1:
+            per_dom[dom][1] += 1
+    assert {r["domain"] for r in rows} == set(per_dom)
+    for r in rows:
+        n_urls, n_changed = per_dom[r["domain"]]
+        assert r["n_urls"] == n_urls
+        assert r["n_changed"] == n_changed
+        assert r["change_milli"] == n_changed * 1000 // n_urls
+    # ranks are a permutation of 1..n and ordered by (rate desc, domain)
+    ranks = sorted(r["priority_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    ordered = sorted(rows, key=lambda r: (-r["change_milli"], r["domain"]))
+    for i, r in enumerate(ordered):
+        assert r["priority_rank"] == i + 1
