@@ -133,12 +133,20 @@ def _spark_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_edge_cte(dialect: str) -> str:
-    """CTE `_edges`(src_domain, dst_domain, doc_id): the closed-form
-    per-anchor rows (DuckDB dialect; the Spark side is the real path)."""
+def _oracle_edge_cte(dialect: str, with_text: bool = False) -> str:
+    """CTE `_edges`(src_domain, dst_domain, doc_id[, anchor_text]): the
+    closed-form per-anchor rows (DuckDB dialect; the Spark side is the
+    real extraction). ONE synthesis with four consumers — link_graph,
+    domain_degrees/two_hop, anchor_text_stats, domain_pagerank — so a
+    change to render_link_html's link counts cannot silently diverge a
+    single oracle."""
     site = "'site' || cast({n} as varchar) || '.example.com'"
     src = site.format(n=f"doc_id % {N_SITES}")
     dst = site.format(n=f"(doc_id + 3 * j + 1) % {N_SITES}")
+    t_abs = ", 't' || cast(j as varchar) AS anchor_text" if with_text else ""
+    t_self = (
+        ", 'self ' || cast(k as varchar) AS anchor_text" if with_text else ""
+    )
     return f"""
 _abs AS (SELECT doc_id, unnest(range(0, cast(doc_id % 4 as int))) AS j
          FROM documents),
@@ -146,9 +154,9 @@ _self AS (SELECT doc_id,
                  unnest(range(0, cast(1 + doc_id % 3 as int))) AS k
           FROM documents),
 _edges AS (
-  SELECT {src} AS src_domain, {dst} AS dst_domain, doc_id FROM _abs
+  SELECT {src} AS src_domain, {dst} AS dst_domain, doc_id{t_abs} FROM _abs
   UNION ALL
-  SELECT {src} AS src_domain, {src} AS dst_domain, doc_id FROM _self
+  SELECT {src} AS src_domain, {src} AS dst_domain, doc_id{t_self} FROM _self
 )"""
 
 
@@ -350,26 +358,13 @@ def _spark_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _anchor_text_stats(dialect: str) -> str:
-    """Oracle: the closed-form anchors — cross links carry text 't{j}',
-    self links 'self {k}' (render_link_html) — rolled up identically."""
-    site = "'site' || cast({n} as varchar) || '.example.com'"
-    src = site.format(n=f"doc_id % {N_SITES}")
-    dst = site.format(n=f"(doc_id + 3 * j + 1) % {N_SITES}")
+    """Oracle: the shared closed-form anchor rows (cross links carry
+    text 't{j}', self links 'self {k}' — render_link_html) rolled up
+    identically to the Spark side."""
     return f"""
-WITH _abs AS (SELECT doc_id, unnest(range(0, cast(doc_id % 4 as int))) AS j
-              FROM documents),
-_self AS (SELECT doc_id,
-                 unnest(range(0, cast(1 + doc_id % 3 as int))) AS k
-          FROM documents),
-_anchors AS (
-  SELECT {dst} AS dst_domain, 't' || cast(j as varchar) AS anchor_text
-  FROM _abs
-  UNION ALL
-  SELECT {src} AS dst_domain, 'self ' || cast(k as varchar) AS anchor_text
-  FROM _self
-),
+WITH {_oracle_edge_cte(dialect, with_text=True)},
 _pt AS (SELECT dst_domain, anchor_text, count(*) AS n
-        FROM _anchors GROUP BY dst_domain, anchor_text),
+        FROM _edges GROUP BY dst_domain, anchor_text),
 _rk AS (SELECT dst_domain, anchor_text, n,
                row_number() OVER (PARTITION BY dst_domain
                                   ORDER BY n DESC, anchor_text) AS rn

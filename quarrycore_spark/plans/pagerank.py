@@ -45,25 +45,31 @@ ITERS = 8
 def _spark_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quarrycore_spark.plans.linkgraph import _edges
 
+    # localCheckpoint (eager) materializes the corpus-sized render +
+    # extraction ONCE and truncates the lineage — a persist()/unpersist()
+    # pair would be torn down before the caller materializes the
+    # returned lazy plan, silently re-running the extraction under every
+    # one of the loop's ~2·ITERS references. The checkpointed frame is
+    # the tiny domain-level edge list.
     edges = (
         _edges(spark, sf_dir)
         .select("src_domain", "dst_domain")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     domains = edges.select(F.col("src_domain").alias("domain")).union(
         edges.select(F.col("dst_domain").alias("domain"))
     ).distinct()
-    # No dangling nodes: every domain must emit at least one edge (the
-    # self-edge guarantees it); BASE below assumes no teleport-only mass.
     n_domains = domains.count()
-    n_sources = edges.select("src_domain").distinct().count()
-    assert n_sources == n_domains, "dangling domains would leak rank"
-    base = (150 * SCALE) // (1000 * n_domains)
-
     outdeg = edges.groupBy("src_domain").agg(
         F.count("*").alias("outdeg")
     )
+    # No dangling nodes: every domain must emit at least one edge (the
+    # self-edge guarantees it); BASE below assumes no teleport-only
+    # mass. A raise (not assert) so `python -O` keeps the invariant.
+    if outdeg.count() != n_domains:
+        raise ValueError("dangling domains would leak rank mass")
+    base = (150 * SCALE) // (1000 * n_domains)
     ranks = domains.select(
         "domain", F.lit(SCALE // n_domains).cast("long").alias("rank")
     )
@@ -83,16 +89,19 @@ def _spark_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"cast({base} + ({DAMP_MILLI} * sum(c)) div 1000 as bigint)"
             ).alias("rank")
         )
-    out = ranks.select("domain", F.col("rank").cast("long").alias("rank_micro"))
-    edges.unpersist()
-    return out
+    return ranks.select(
+        "domain", F.col("rank").cast("long").alias("rank_micro")
+    )
 
 
 def _domain_pagerank_sql(dialect: str) -> str:
-    """DuckDB oracle: closed-form edges + ITERS unrolled iterations."""
-    site = "'site' || cast({n} as varchar) || '.example.com'"
-    src = site.format(n="doc_id % 20")
-    dst = site.format(n="(doc_id + 3 * j + 1) % 20")
+    """DuckDB oracle: the SHARED closed-form edge synthesis
+    (linkgraph._oracle_edge_cte — one synthesis, four consumers, so a
+    N_SITES/link-count change cannot diverge this oracle alone) +
+    ITERS unrolled iterations (aggregates are not allowed in a
+    recursive CTE member)."""
+    from quarrycore_spark.plans.linkgraph import _oracle_edge_cte
+
     steps = []
     for t in range(ITERS):
         steps.append(f"""
@@ -105,14 +114,8 @@ _r{t + 1} AS (
   JOIN _od o ON e.src_domain = o.src_domain
   GROUP BY e.dst_domain)""")
     return f"""
-WITH _abs AS (SELECT doc_id, unnest(range(0, cast(doc_id % 4 as int))) AS j
-              FROM documents),
-_e AS (
-  SELECT DISTINCT src_domain, dst_domain FROM (
-    SELECT {src} AS src_domain, {dst} AS dst_domain FROM _abs
-    UNION ALL
-    SELECT {src} AS src_domain, {src} AS dst_domain FROM documents
-  )),
+WITH {_oracle_edge_cte(dialect)},
+_e AS (SELECT DISTINCT src_domain, dst_domain FROM _edges),
 _d AS (SELECT DISTINCT src_domain AS domain FROM _e
        UNION SELECT DISTINCT dst_domain FROM _e),
 _const AS (SELECT count(*) AS n,

@@ -135,27 +135,48 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
         for pdf in batches:
             out: list[dict] = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 try:
                     raw = _maybe_gunzip(str(p), bytes(content))
-                except OSError as e:
+                # gzip raises EOFError on a truncated member and
+                # zlib.error on corrupt deflate data — neither is an
+                # OSError, and an uncaught one would kill the task
+                # instead of dead-lettering (the S10 contract).
+                except (OSError, EOFError, zlib.error) as e:
                     out.append({"warc_error": f"bad gzip: {e}"})
                     continue
                 out.extend(parse_warc_records(raw))
-            yield pd.DataFrame(
+            pdf_out = pd.DataFrame(
                 out, columns=["url", "warc_ts", "html", "warc_error"]
             )
+            # An all-dead-letter batch leaves warc_ts as float NaN, which
+            # Arrow refuses to cast to timestamp — pin the dtype.
+            pdf_out["warc_ts"] = pd.to_datetime(pdf_out["warc_ts"])
+            yield pdf_out
 
     return files.select("path", "content").mapInPandas(gen, PAGES_SCHEMA)
 
 
 def _render_record(url: str, ts, html: bytes) -> bytes:
     """One WARC/1.0 response record wrapping the page bytes in a minimal
-    HTTP response (the reader's body split is the exact inverse)."""
+    HTTP response (the reader's body split is the exact inverse).
+
+    The 'Z' designator asserts UTC: `ts` is the session-local naive
+    timestamp Arrow hands the worker, so the label is only truthful
+    under a UTC session timezone — which session.py pins and the driver
+    harness sets. Writing archives from a non-UTC session would stamp
+    local wall time as UTC; keep the session at UTC (repo-wide rule).
+    Sub-second precision is preserved so the reader round-trips exactly.
+    """
     http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
-    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    date = ts.strftime("%Y-%m-%dT%H:%M:%S")
+    if getattr(ts, "microsecond", 0):
+        date += f".{ts.microsecond:06d}"
+    date += "Z"
     head = (
         f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date}\r\nContent-Length: {len(http)}\r\n\r\n"
@@ -173,6 +194,19 @@ def write_warc(df: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
     Returns a (path, n_records) DataFrame — an ACTION-bearing frame the
     caller must materialize (e.g. .collect()) to run the write, like
     every mapInPandas sink.
+
+    Commit protocol: each task writes to a uuid-suffixed temp name and
+    os.replace()s it onto the DETERMINISTIC final name
+    ``part-{partition:05d}{ext}`` — a failed/retried or speculative
+    task, or a second materialization of the returned frame, therefore
+    overwrites the same file with identical content instead of
+    accumulating partial/duplicate shards; orphaned ``*.inprogress``
+    temps never match a ``*.warc*`` reader glob.
+
+    Filesystem contract: `out_dir` must be a filesystem every executor
+    can reach (shared mount or object store via a fuse/NFS path) — the
+    same assumption every file-granular archive writer makes; in plain
+    multi-node local-disk setups use Spark's own sinks instead.
     """
     import os
     import uuid
@@ -185,10 +219,12 @@ def write_warc(df: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
     def sink(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
 
+        os.makedirs(out_dir, exist_ok=True)  # executor-side, racy-safe
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
+        final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = f"{final}.{uuid.uuid4().hex[:8]}.inprogress"
         n = 0
-        with open(path, "wb") as f:
+        with open(tmp, "wb") as f:
             for pdf in batches:
                 for url, ts, html in zip(
                     pdf["url"], pdf["warc_ts"], pdf["html"]
@@ -197,10 +233,11 @@ def write_warc(df: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
                     f.write(gzip.compress(rec) if compress else rec)
                     n += 1
         if n == 0:
-            os.remove(path)
+            os.remove(tmp)
             yield pd.DataFrame({"path": [], "n_records": []})
             return
-        yield pd.DataFrame({"path": [path], "n_records": [n]})
+        os.replace(tmp, final)  # atomic commit; retries converge here
+        yield pd.DataFrame({"path": [final], "n_records": [n]})
 
     return df.select("url", "warc_ts", "html").mapInPandas(
         sink, "path string, n_records long"

@@ -4,6 +4,7 @@ pipeline hand-off."""
 from __future__ import annotations
 
 import gzip
+import os
 
 from quarrycore_spark.sources.warc import parse_warc_records, read_warc
 
@@ -158,3 +159,41 @@ def test_write_warc_roundtrip(spark, tmp_path):
     got = {(r.url, r.warc_ts, bytes(r.html)) for r in back
            if r.warc_error is None}
     assert got == set(rows)
+
+
+def test_write_warc_idempotent_and_subsecond(spark, tmp_path):
+    """Double materialization converges to the same files (deterministic
+    names + atomic rename), and microsecond timestamps round-trip."""
+    from datetime import datetime
+
+    from quarrycore_spark.sources.warc import write_warc
+
+    rows = [(
+        "https://site0.example.com/us",
+        datetime(2025, 4, 2, 3, 4, 5, 123456),
+        b"<html><body>micro body text</body></html>",
+    )]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).coalesce(1)
+    out_dir = str(tmp_path / "idem")
+    frame = write_warc(pages, out_dir)
+    m1 = frame.collect()
+    m2 = frame.collect()  # re-materialization must not duplicate shards
+    assert [m.path for m in m1] == [m.path for m in m2]
+    files = [f for f in os.listdir(out_dir) if not f.endswith(".inprogress")]
+    assert files == ["part-00000.warc.gz"]
+    back = read_warc(spark, out_dir + "/*.warc.gz").collect()
+    assert len(back) == 1
+    assert back[0].warc_ts == rows[0][1]  # microseconds preserved
+
+
+def test_read_warc_truncated_gzip_dead_letters(spark, tmp_path):
+    """A truncated gzip member dead-letters (EOFError path) instead of
+    killing the task."""
+    good = gzip.compress(_make_warc(2))
+    (tmp_path / "t.warc.gz").write_bytes(good[: len(good) - 8])
+    rows = read_warc(spark, str(tmp_path / "t.warc.gz")).collect()
+    assert rows
+    assert all(r.warc_error is not None or r.url is not None for r in rows)
+    assert any(r.warc_error and "bad gzip" in r.warc_error for r in rows)
