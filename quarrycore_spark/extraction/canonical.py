@@ -29,7 +29,8 @@ _STYLE = re.compile(r"<style\b[^>]*>.*?</style\s*>", re.I | re.S)
 _COMMENT = re.compile(r"<!--.*?-->", re.S)
 # chrome removed with content by the extraction tier (not by canonicalize):
 _CHROME = re.compile(
-    r"<(nav|header|footer|aside|noscript)\b[^>]*>.*?</\1\s*>", re.I | re.S
+    r"<(nav|header|footer|aside|noscript|form|button)\b[^>]*>.*?</\1\s*>",
+    re.I | re.S,
 )
 _TITLE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.I | re.S)
 _TAG = re.compile(r"<[^>]+>")
@@ -77,8 +78,10 @@ def extract_title(raw: bytes | str) -> str | None:
 
 def extract_main_text(raw: bytes | str, _pre_stripped: str | None = None) -> str:
     """Main-content extraction: chrome subtrees (nav/header/footer/aside/
-    noscript) removed with their content — the soup-tier selector semantics
-    (soup_extractor.py:94-176) — plus head (title goes to its own column)."""
+    noscript/form/button) removed with their content — the soup-tier
+    selector semantics (soup_extractor.py:94-176; form/button is the
+    trafilatura-default interactive-control exclusion) — plus head
+    (title goes to its own column)."""
     if _pre_stripped is None:
         s = raw if isinstance(raw, str) else decode_html(raw)
         s = _strip_ssc(s)

@@ -565,3 +565,25 @@ def test_selector_precision_metric_on_fixture_corpus():
     # zero — any regression that lets one widget through fails loudly
     assert sel_noise == 0
     assert strict_noise >= 15  # strict demonstrably keeps the furniture
+
+
+def test_bare_form_and_button_chrome_removed():
+    """A BARE <form> (no chrome class) must not leak its labels/controls
+    into the extracted text — the trafilatura-default interactive-control
+    exclusion. The class-based removal already caught class'd forms; this
+    pins the tag-based tier."""
+    from quarrycore_spark.extraction.canonical import extract_main_text
+
+    html = (
+        b"<html><body><article><p>Real story text stays.</p>"
+        b"<form action='/search'><label>Search the site</label>"
+        b"<input name='q'><button type='submit'>Go</button></form>"
+        b"<button onclick='x()'>Load more comments</button>"
+        b"<p>Closing paragraph stays.</p></article></body></html>"
+    )
+    text = extract_main_text(html)
+    assert "Real story text stays." in text
+    assert "Closing paragraph stays." in text
+    assert "Search the site" not in text
+    assert "Go" not in text.split()
+    assert "Load more comments" not in text
