@@ -29,7 +29,8 @@ _STYLE = re.compile(r"<style\b[^>]*>.*?</style\s*>", re.I | re.S)
 _COMMENT = re.compile(r"<!--.*?-->", re.S)
 # chrome removed with content by the extraction tier (not by canonicalize):
 _CHROME = re.compile(
-    r"<(nav|header|footer|aside|noscript|form|button)\b[^>]*>.*?</\1\s*>",
+    r"<(nav|header|footer|aside|noscript|form|button|select|textarea"
+    r"|template|svg)\b[^>]*>.*?</\1\s*>",
     re.I | re.S,
 )
 _TITLE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.I | re.S)

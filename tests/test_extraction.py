@@ -587,3 +587,24 @@ def test_bare_form_and_button_chrome_removed():
     assert "Search the site" not in text
     assert "Go" not in text.split()
     assert "Load more comments" not in text
+
+
+def test_inert_and_control_subtrees_removed():
+    """select options, textarea placeholder text, inert <template>
+    markup, and svg <text> must not leak into extracted content."""
+    from quarrycore_spark.extraction.canonical import extract_main_text
+
+    html = (
+        b"<html><body><article><p>Story body stays.</p>"
+        b"<select><option>Sort by newest</option>"
+        b"<option>Sort by oldest</option></select>"
+        b"<textarea>Write a comment here</textarea>"
+        b"<template><p>Inert template markup</p></template>"
+        b"<svg><text>chart label</text></svg>"
+        b"</article></body></html>"
+    )
+    text = extract_main_text(html)
+    assert "Story body stays." in text
+    for leak in ("Sort by newest", "Write a comment", "Inert template",
+                 "chart label"):
+        assert leak not in text
