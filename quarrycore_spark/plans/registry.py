@@ -29,14 +29,36 @@ class Query:
     sql: Callable[[str], str] | None = None  # dialect -> SQL text
     spark_fn: Callable[[SparkSession, str], DataFrame] | None = None
     tables: tuple = ("documents",)
+    # Tables whose scan should be repartitioned across the cluster before
+    # the SQL plan is built (optimization guide §2.5: the driver's test
+    # parquet is ONE file with ONE row group, so a scan cannot split and a
+    # CPU-dense projection runs on a single core; `spread` is a no-op once
+    # the scan already has >= defaultParallelism splits, i.e. at any real
+    # corpus scale). Only set on queries whose per-row work dwarfs the
+    # one-time ~MB-scale exchange AND whose semantics are
+    # partition-insensitive (all registry outputs are order-insensitive
+    # sets; window/sample rules key on column values, never partition ids).
+    spread: tuple = ()
 
     def run_spark(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         from quarrycore_spark.session import ensure_py_files
 
         ensure_py_files(spark)
-        load(spark, sf_dir, *self.tables)
+        dfs = load(spark, sf_dir, *self.tables)
         if self.spark_fn is not None:
             return self.spark_fn(spark, sf_dir)
+        if self.spread:
+            from quarrycore_spark.operators._partitioning import spread
+
+            # swap the named views for repartitioned ones only while the
+            # plan is analyzed (spark.sql resolves views eagerly), then
+            # restore so other queries see the plain scan again
+            for t in self.spread:
+                spread(dfs[t]).createOrReplaceTempView(t)
+            df = spark.sql(self.sql(SPARK))
+            for t in self.spread:
+                dfs[t].createOrReplaceTempView(t)
+            return df
         return spark.sql(self.sql(SPARK))
 
     def oracle(self) -> str | None:
@@ -1156,3 +1178,33 @@ from quarrycore_spark.plans import (  # noqa: E402,F401
 
 def oracles() -> dict[str, str]:
     return {name: q.oracle() for name, q in REGISTRY.items() if q.oracle() is not None}
+
+
+# CPU-dense SQL-only queries over the documents table: the per-row work
+# (regex batteries, n-gram array builds, md5 lambdas) is orders of
+# magnitude above scan cost, so an unsplittable single-row-group input
+# file serializes them onto one core (guide §2.5). Spread their scans.
+# Set centrally (after the registration imports above) so the flag and
+# its rationale live in one place. Queries NOT listed either have a
+# spark_fn (which handles its own partitioning), are shuffle-bound
+# already, or are too cheap for the extra exchange to pay.
+for _name in (
+    "c4_line_filter",
+    "clean_dup_lines",
+    "content_metrics",
+    "corpus_dup_lines",
+    "decontaminate",
+    "doc_repetition",
+    "domain_classify",
+    "filter_funnel",
+    "gopher_quality_flags",
+    "heavy_hitter_ngrams",
+    "lang_id",
+    "medical_entities",
+    "pii_redact",
+    "pii_scan",
+    "sitemap_entries",
+    "text_quality",
+    "token_counts",
+):
+    REGISTRY[_name].spread = ("documents",)
