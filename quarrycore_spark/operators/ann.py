@@ -68,8 +68,14 @@ def quantize(v: np.ndarray) -> np.ndarray:
     return np.floor(v.astype(np.float64) * 1000 + 0.5).astype(np.int64)
 
 
-def quantized_frame(emb: DataFrame) -> DataFrame:
-    """(vec_id, q array<bigint>, na norm²) — Arrow-batched quantization."""
+def quantized_frame(emb: DataFrame, spread: bool = True) -> DataFrame:
+    """(vec_id, q array<bigint>, na norm²) — Arrow-batched quantization.
+
+    spread=False for consumers whose downstream shuffle re-partitions the
+    vectors anyway (embedding_dup_pairs' block explode, ivf_topk's
+    candidate join): there the extra exchange of fat q-arrays costs more
+    than the scan parallelism buys (measured 3.0 vs 9.2 s at sf1.0 for
+    embedding_dup_pairs)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,10 +88,19 @@ def quantized_frame(emb: DataFrame) -> DataFrame:
                 }
             )
 
-    # NOT spread(): the quantize kernel is a few numpy passes per batch —
-    # scan-bound, not CPU-dense — and ivf_topk instantiates this frame three
-    # times; an added repartition shuffle measured net-slower at bench sizes.
-    return emb.select("vec_id", "embedding").mapInPandas(compute, schema=_QV_SCHEMA)
+    # spread(): the driver's embeddings table is ONE parquet file with ONE
+    # row group, so the scan cannot split and every downstream kernel pass
+    # (quantize, scoring matmuls) runs on <= 2 cores (guide §2.5 — an
+    # unsplittable input is repartitioned right after the read; no-op once
+    # the scan has >= defaultParallelism splits, i.e. at any real scale).
+    # This amends an r6 measurement made before the row-group bound was
+    # understood: re-measured at sf1.0, ivf_assignments 4.9 -> 2.2 s.
+    from quarrycore_spark.operators._partitioning import spread as _spread
+
+    sel = emb.select("vec_id", "embedding")
+    if spread:
+        sel = _spread(sel)
+    return sel.mapInPandas(compute, schema=_QV_SCHEMA)
 
 
 # Block sizing target for embedding_dup_pairs: each block-pair task holds
@@ -119,7 +134,7 @@ def embedding_dup_pairs(
 
         n_rows = emb.count()
         n_blocks = max(8, math.ceil(math.sqrt(max(n_rows, 1) / TARGET_ROWS_PER_TASK)))
-    qv = quantized_frame(emb).filter(F.col("na") > 0)
+    qv = quantized_frame(emb, spread=False).filter(F.col("na") > 0)
     j = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("j")
     blocked = (
         qv.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
@@ -436,7 +451,7 @@ def ivf_topk(
     Broadcast byte cost at the caps: queries ≤ 200k × 64 dims × 8 B
     ≈ 102 MB; probe pairs ≤ 200k × nprobe(4) × 16 B ≈ 13 MB."""
     spark = emb.sparkSession
-    qv = quantized_frame(emb).filter(F.col("na") > 0)
+    qv = quantized_frame(emb, spread=False).filter(F.col("na") > 0)
     qrows = qv.filter(F.col("vec_id") % stride == 0).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise RuntimeError(
@@ -536,7 +551,9 @@ def lsh_band_rows(emb: DataFrame) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    from quarrycore_spark.operators._partitioning import spread
+
+    return spread(emb.select("vec_id", "embedding")).mapInPandas(
         compute, schema="vec_id bigint, band_idx bigint, band_sig bigint"
     )
 
@@ -586,34 +603,68 @@ def ann_lsh_pairs(
     sigs = surv.join(qv, "vec_id")
     thr = cos_pct * cos_pct
 
-    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in ("a_id", "b_id", "dot", "na", "nb")}
-            )
-        order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
-        ids = pdf["vec_id"].to_numpy(np.int64)[order]
+    # Segmented verify over SORTED partitions instead of
+    # groupBy().applyInPandas: at bench scale the surviving buckets are
+    # tiny and numerous (sf1.0: 54,932 buckets of 2..11 members, 322k
+    # pair-dots total) and applyInPandas pays ~1 ms of per-group pandas
+    # machinery — 55 s of overhead around <1 s of math. One hash
+    # repartition on (band_idx, band_sig) + a partition-local sort makes
+    # every bucket a contiguous run, and the verify processes ALL runs of
+    # one partition in a handful of numpy passes (runs grouped by size so
+    # the triangular pair expansion is one broadcast per distinct bucket
+    # size, never a per-bucket Python call). Same exchange count as the
+    # applyInPandas shape, identical output rows.
+    def verify_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [pdf for pdf in it if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        # bucket key: band_idx * 2^LSH_PLANES_PER_BAND + band_sig (injective)
+        key = (
+            pdf["band_idx"].to_numpy(np.int64) * (1 << LSH_PLANES_PER_BAND)
+            + pdf["band_sig"].to_numpy(np.int64)
+        )
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
         Q = np.stack(pdf["q"].to_numpy())[order]
         na = pdf["na"].to_numpy(np.int64)[order]
-        dots = Q @ Q.T
-        iu, ju = np.triu_indices(n, k=1)
-        d = dots[iu, ju]
-        keep = (d > 0) & (10000 * d * d >= thr * na[iu] * na[ju])
-        return pd.DataFrame(
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        sizes = np.diff(np.append(starts, len(key)))
+        left_parts, right_parts = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            run_starts = starts[sizes == s]
+            mat = run_starts[:, None] + np.arange(s)[None, :]
+            iu, ju = np.triu_indices(s, k=1)
+            left_parts.append(mat[:, iu].ravel())
+            right_parts.append(mat[:, ju].ravel())
+        if not left_parts:
+            return
+        li = np.concatenate(left_parts)
+        ri = np.concatenate(right_parts)
+        d = np.einsum("ij,ij->i", Q[li], Q[ri])
+        keep = (d > 0) & (10000 * d * d >= thr * na[li] * na[ri])
+        li, ri, d = li[keep], ri[keep], d[keep]
+        # rows are sorted by vec_id within a run, so ids[li] < ids[ri] —
+        # the same canonical (a_id < b_id) order as the bucket verify
+        yield pd.DataFrame(
             {
-                "a_id": ids[iu[keep]],
-                "b_id": ids[ju[keep]],
-                "dot": d[keep],
-                "na": na[iu[keep]],
-                "nb": na[ju[keep]],
+                "a_id": ids[li],
+                "b_id": ids[ri],
+                "dot": d,
+                "na": na[li],
+                "nb": na[ri],
             }
         )
 
+    par = emb.sparkSession.sparkContext.defaultParallelism
     return (
-        sigs.groupBy("band_idx", "band_sig")
-        .applyInPandas(
-            verify_bucket,
+        sigs.repartition(par, "band_idx", "band_sig")
+        .sortWithinPartitions("band_idx", "band_sig", "vec_id")
+        .mapInPandas(
+            verify_partition,
             schema="a_id bigint, b_id bigint, dot bigint, na bigint, nb bigint",
         )
         .dropDuplicates(["a_id", "b_id"])

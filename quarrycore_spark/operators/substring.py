@@ -116,12 +116,33 @@ def gram_doc_pairs(
 ) -> DataFrame:
     """(a_id, b_id, shared_grams): doc pairs sharing >=1 common substring of
     length >= l_gram. Grams occurring in more than `cap` docs are dropped
-    (boilerplate guard, deterministic)."""
-    from quarrycore_spark.operators._partitioning import spread
+    (boilerplate guard, deterministic).
 
-    grams = (
-        spread(docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM).alias("nt")))
-        .select("doc_id", F.explode(F.expr(_gram_hashes_expr(l_gram))).alias("g"))
+    Gram hashing runs in the batched md5 kernel (operators/md5grams.py) —
+    identical integers to the `_gram_hashes_expr` SQL (which remains the
+    DuckDB oracle), but C md5 over Arrow batches instead of an interpreted
+    transform() lambda."""
+    from quarrycore_spark.operators._partitioning import spread
+    from quarrycore_spark.operators.md5grams import window_hashes60
+    from quarrycore_spark.operators.signatures import normalize_text
+
+    def emit_grams(it):
+        for pdf in it:
+            ids, gs = [], []
+            for doc_id, text in zip(
+                pdf[id_col].to_numpy(np.int64), pdf[text_col].astype(str)
+            ):
+                h = window_hashes60(normalize_text(text), l_gram)
+                ids.append(np.full(len(h), doc_id, dtype=np.int64))
+                gs.append(h)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids), "g": np.concatenate(gs)}
+            )
+
+    grams = spread(docs.select(id_col, text_col)).mapInPandas(
+        emit_grams, schema="doc_id bigint, g bigint"
     )
     gk = _capped_gram_buckets(grams, cap)
     a = gk.alias("a")

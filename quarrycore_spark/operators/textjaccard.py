@@ -23,18 +23,28 @@ def trigram_jaccard_pairs(
     docs: DataFrame, threshold_pct: int, cap: int,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    gram_str = "concat_ws(' ', slice(ws, i, 3))"
-    tg_expr = (
-        f"case when size(ws) < 3 then array({D.hex_int('nt', 15, SPARK)}) "
-        f"else array_distinct(transform(sequence(1, size(ws) - 2), "
-        f"i -> {D.hex_int(gram_str, 15, SPARK)})) end"
-    )
+    """Trigram hashing runs in the batched md5 kernel
+    (operators/md5grams.py) — identical integers to the SQL formulation
+    in plans/textops.py (which remains the DuckDB oracle), but C md5 over
+    Arrow batches instead of an interpreted transform() lambda."""
     from quarrycore_spark.operators._partitioning import spread
+    from quarrycore_spark.operators.md5grams import word_trigram_hashes60
+    from quarrycore_spark.operators.signatures import normalize_text
 
-    t = (
-        spread(docs.select(F.col(id_col).alias("doc_id"), F.expr(_NORM.replace("text", text_col)).alias("nt")))
-        .withColumn("ws", F.split("nt", " "))
-        .select("doc_id", F.expr(tg_expr).alias("tg"))
+    def emit_tg(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            tgs = [
+                word_trigram_hashes60(normalize_text(text))
+                for text in pdf[text_col].astype(str)
+            ]
+            yield pd.DataFrame({"doc_id": ids, "tg": tgs})
+
+    t = spread(docs.select(id_col, text_col)).mapInPandas(
+        emit_tg, schema="doc_id bigint, tg array<bigint>"
     )
     t = track(t)
     sz = t.select("doc_id", F.size("tg").alias("n_g"))
