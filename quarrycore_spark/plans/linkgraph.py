@@ -90,7 +90,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    from quarrycore_spark.operators._partitioning import spread
+
+    pages = spread(docs).mapInPandas(gen, schema="url string, html binary")
     links = (
         with_structured_content(pages)
         .select(

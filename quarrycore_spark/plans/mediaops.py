@@ -107,7 +107,9 @@ def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from quarrycore_spark.multimodal.stubs import MEDIA_SCHEMA
 
-    return docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    from quarrycore_spark.operators._partitioning import spread
+
+    return spread(docs).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def _spark_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

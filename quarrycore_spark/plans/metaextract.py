@@ -122,7 +122,9 @@ def _spark_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    from quarrycore_spark.operators._partitioning import spread
+
+    pages = spread(docs).mapInPandas(gen, schema="url string, html binary")
     meta = with_page_metadata(pages)
     s = lambda c: F.coalesce(F.col(c), F.lit("")).alias(c)  # noqa: E731
     return meta.select(

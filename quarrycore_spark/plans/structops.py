@@ -78,7 +78,9 @@ def _spark_doc_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    from quarrycore_spark.operators._partitioning import spread
+
+    pages = spread(docs).mapInPandas(gen, schema="url string, html binary")
     structured = with_structured_content(pages)
     return structured.select(
         F.col("url").cast("bigint").alias("doc_id"),
