@@ -34,6 +34,7 @@ _CHROME = re.compile(
     re.I | re.S,
 )
 _TITLE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.I | re.S)
+_HEAD = re.compile(r"<head\b[^>]*>.*?</head\s*>", re.I | re.S)
 _TAG = re.compile(r"<[^>]+>")
 _WS = re.compile(r"\s+", re.ASCII)
 
@@ -88,7 +89,7 @@ def extract_main_text(raw: bytes | str, _pre_stripped: str | None = None) -> str
         s = _strip_ssc(s)
     else:
         s = _pre_stripped
-    s = re.sub(r"<head\b[^>]*>.*?</head\s*>", " ", s, flags=re.I | re.S)
+    s = _HEAD.sub(" ", s)
     prev = None
     while prev != s:  # nested chrome elements
         prev = s
@@ -108,7 +109,7 @@ def extract_body_text(raw: bytes | str, _pre_stripped: str | None = None) -> str
         s = _strip_ssc(s)
     else:
         s = _pre_stripped
-    s = re.sub(r"<head\b[^>]*>.*?</head\s*>", " ", s, flags=re.I | re.S)
+    s = _HEAD.sub(" ", s)
     s = _TAG.sub(" ", s)
     s = _html.unescape(s)
     return _WS.sub(" ", s).strip()

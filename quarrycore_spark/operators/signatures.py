@@ -165,8 +165,13 @@ def doc_signature(
     sh = char_shingles(nt, cfg.shingle_size)
     # 31-bit hashes for MinHash (np.unique = array_distinct: set semantics)
     hs31 = np.unique(_md5_prefix_ints(sh, 8) % MERSENNE_31)
-    # minhash: min over shingles of (a*h+b) mod p, per permutation
-    sig = ((hs31[:, None] * a[None, :] + b[None, :]) % MERSENNE_31).min(axis=0)
+    # minhash: min over shingles of (a*h+b) mod p, per permutation.
+    # The reduction is t - (t // p) * p, not np.mod — numpy's int64
+    # floor_divide by scalar is SIMD, mod is not (~2.5x); exact for the
+    # non-negative t here, so bit-identical (test_signature_parity).
+    t = hs31[:, None] * a[None, :] + b[None, :]
+    t -= (t // MERSENNE_31) * MERSENNE_31
+    sig = t.min(axis=0)
     # band hashes: order-sensitive polynomial fold mod p (dialect.band_hash)
     bands = np.empty(cfg.lsh_bands, dtype=np.int64)
     for i in range(cfg.lsh_bands):

@@ -47,8 +47,16 @@ def trigram_jaccard_pairs(
         emit_tg, schema="doc_id bigint, tg array<bigint>"
     )
     t = track(t)
-    sz = t.select("doc_id", F.size("tg").alias("n_g"))
-    gx = t.select("doc_id", F.explode("tg").alias("g"))
+    # gram rows carry the doc's distinct-gram count so (a) the final
+    # union computation needs no size joins (n_a/n_b ride the groupBy
+    # keys, on which they are functionally dependent) and (b) the join
+    # can prune size-mismatched pairs BEFORE they exist: a qualifying
+    # pair needs inter >= T/(100+T)·(n_a+n_b) and inter <= min(n_a,n_b),
+    # so any pair with 100·min(n_a,n_b) < T·max(n_a,n_b) cannot pass the
+    # final filter — dropping it inside the join changes nothing in the
+    # output (exact, integer arithmetic; boundary kept by >=) and cuts
+    # the candidate-pair mass ~35% on the bench corpus (127M -> 83M).
+    gx = t.select("doc_id", F.size("tg").alias("n_g"), F.explode("tg").alias("g"))
     # 2..cap bucket filter as a window count over the self-join's own
     # partitioning (one wide shuffle, no cached exploded table)
     w = Window.partitionBy("g")
@@ -59,14 +67,25 @@ def trigram_jaccard_pairs(
     )
     inter = (
         gk.alias("a")
-        .join(gk.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .join(
+            gk.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                100 * F.least(F.col("a.n_g"), F.col("b.n_g"))
+                >= threshold_pct * F.greatest(F.col("a.n_g"), F.col("b.n_g"))
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_g").alias("n_a"),
+            F.col("b.n_g").alias("n_b"),
+        )
         .agg(F.count("*").alias("inter_cnt"))
     )
     return (
-        inter.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_g", "n_a"), "a_id")
-        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_g", "n_b"), "b_id")
-        .withColumn("union_cnt", F.col("n_a") + F.col("n_b") - F.col("inter_cnt"))
+        inter.withColumn("union_cnt", F.col("n_a") + F.col("n_b") - F.col("inter_cnt"))
         .filter(F.col("inter_cnt") * 100 >= threshold_pct * F.col("union_cnt"))
         .select("a_id", "b_id", "inter_cnt", "union_cnt")
     )

@@ -187,8 +187,16 @@ register(
 
 
 def _spark_domain_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(spark, sf_dir).groupBy("src_domain", "dst_domain").agg(
-        F.count("*").alias("n")
+    # Eager localCheckpoint: the aggregated edge frame is tiny (domains²)
+    # but is consumed by BOTH degree aggregates below — without the
+    # checkpoint Catalyst inlines it and the corpus-sized render +
+    # extraction runs once per reference (same rationale as
+    # plans/pagerank.py).
+    edges = (
+        _edges(spark, sf_dir)
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     out = edges.groupBy(F.col("src_domain").alias("domain")).agg(
         F.countDistinct("dst_domain").cast("int").alias("out_degree"),
@@ -246,8 +254,16 @@ def _spark_two_hop_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     The self-join runs on the DISTINCT domain-level edge list — after the
     first aggregate the graph is bounded by (domains)², not corpus size,
     so the expensive part (anchor extraction + edge agg) happens once and
-    the hop join moves kilobytes at any corpus scale."""
-    e = _edges(spark, sf_dir).select("src_domain", "dst_domain").distinct()
+    the hop join moves kilobytes at any corpus scale. The eager
+    localCheckpoint makes "once" literal: `e` is referenced by four
+    subplans below, and without it Catalyst inlines the corpus-sized
+    extraction into every reference (same rationale as pagerank.py)."""
+    e = (
+        _edges(spark, sf_dir)
+        .select("src_domain", "dst_domain")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     one = e.filter(F.col("src_domain") != F.col("dst_domain"))
     e2 = e.select(
         F.col("src_domain").alias("mid"), F.col("dst_domain").alias("dst2")
