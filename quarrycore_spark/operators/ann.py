@@ -344,13 +344,21 @@ def _collect_centroids(
     return cids, CQ, cna
 
 
-def ivf_assignments(emb: DataFrame, stride: int = CENT_STRIDE) -> DataFrame:
+def ivf_assignments(
+    emb: DataFrame,
+    stride: int = CENT_STRIDE,
+    _cent: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
     """IVF coarse assignment: each vector → best centroid by quantized
     cosine (ties → lowest centroid id). Broadcast codebook × partition scan;
-    identical integers to the SQL oracle (plans/vectorops._ivf_assign)."""
+    identical integers to the SQL oracle (plans/vectorops._ivf_assign).
+    `_cent` lets a composed caller (ivf_topk) supply an
+    already-collected codebook so the table is not re-scanned for it."""
     spark = emb.sparkSession
     qv = quantized_frame(emb).filter(F.col("na") > 0)
-    b = spark.sparkContext.broadcast(_collect_centroids(qv, stride))
+    b = spark.sparkContext.broadcast(
+        _collect_centroids(qv, stride) if _cent is None else _cent
+    )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cids, CQ, cna = b.value
@@ -388,15 +396,22 @@ def ivf_probes(
     stride: int = QUERY_STRIDE,
     cent_stride: int = CENT_STRIDE,
     nprobe: int = IVF_NPROBE,
+    _cent: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    _queries: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, centroid_id) probe sets, computed DISTRIBUTIVELY: the
     broadcast codebook scores each stride-sampled query inside mapInPandas
     (chunked to _CHUNK_CELLS like ivf_assignments), so no
     O(queries × centroids) matrix ever exists on the driver. Top-nprobe
-    per query with the oracle's tie-break (score desc, centroid id asc)."""
+    per query with the oracle's tie-break (score desc, centroid id asc).
+    `_cent` / `_queries` let a composed caller (ivf_topk) supply the
+    already-collected codebook and an already-materialized query frame so
+    the full table is not re-scanned for either."""
     spark = emb.sparkSession
     qv = quantized_frame(emb).filter(F.col("na") > 0)
-    b = spark.sparkContext.broadcast(_collect_centroids(qv, cent_stride))
+    b = spark.sparkContext.broadcast(
+        _collect_centroids(qv, cent_stride) if _cent is None else _cent
+    )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cids, CQ, cna = b.value
@@ -426,9 +441,10 @@ def ivf_probes(
                     }
                 )
 
-    return qv.filter(F.col("vec_id") % stride == 0).mapInPandas(
-        probe, schema="query_id bigint, centroid_id bigint"
+    src = _queries if _queries is not None else qv.filter(
+        F.col("vec_id") % stride == 0
     )
+    return src.mapInPandas(probe, schema="query_id bigint, centroid_id bigint")
 
 
 def ivf_topk(
@@ -449,26 +465,64 @@ def ivf_topk(
     one task). Same integer scores and tie-breaks as the SQL oracle.
 
     Broadcast byte cost at the caps: queries ≤ 200k × 64 dims × 8 B
-    ≈ 102 MB; probe pairs ≤ 200k × nprobe(4) × 16 B ≈ 13 MB."""
+    ≈ 102 MB; probe pairs ≤ 200k × nprobe(4) × 16 B ≈ 13 MB.
+
+    ONE bounded collect serves both sampled sets (queries at `stride`,
+    centroids at `cent_stride`): standalone, ivf_probes and
+    ivf_assignments each re-scan the table through the quantize kernel
+    just to collect the codebook, so the composed query paid five
+    full-table scans; this shape pays three (assignments scan, the
+    candidate join's vector re-attach, and the one collect). The probe
+    kernel runs over a driver-parallelized frame of the already-collected
+    query rows instead of a fourth scan — at the caps those rows are
+    already driver-resident for the broadcast, so no new driver-memory
+    class is introduced. The per-class loud-cap raises are preserved: the
+    combined limit (max_queries + centroid cap + 2) guarantees that
+    whenever either class exceeds its cap, more than cap rows of SOME
+    over-cap class are collected (pigeonhole), so a RuntimeError still
+    fires before any oversized broadcast."""
     spark = emb.sparkSession
     qv = quantized_frame(emb, spread=False).filter(F.col("na") > 0)
-    qrows = qv.filter(F.col("vec_id") % stride == 0).limit(max_queries + 1).collect()
+    cent_cap = MAX_BROADCAST_CENTROIDS
+    both = qv.filter(
+        (F.col("vec_id") % stride == 0) | (F.col("vec_id") % cent_stride == 0)
+    ).limit(max_queries + cent_cap + 2).collect()
+    qrows = [r for r in both if r["vec_id"] % stride == 0]
+    crows = [r for r in both if r["vec_id"] % cent_stride == 0]
     if len(qrows) > max_queries:
         raise RuntimeError(
             f"ivf_topk: >{max_queries} query vectors at stride={stride}"
         )
-    qrows.sort(key=lambda r: r["vec_id"])  # searchsorted key order
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_Q = (
-        np.stack([np.asarray(r["q"], dtype=np.int64) for r in qrows])
-        if qrows
-        else np.zeros((0, 1), dtype=np.int64)
-    )
-    q_na = np.array([r["na"] for r in qrows], dtype=np.int64)
-    bq = spark.sparkContext.broadcast((q_ids, q_Q, q_na))
+    if len(crows) > cent_cap:
+        raise RuntimeError(
+            f"ivf: >{cent_cap} centroids at stride={cent_stride}; raise the "
+            "stride — refusing to broadcast an unbounded codebook"
+        )
 
-    probe_df = ivf_probes(emb, stride, cent_stride, nprobe)
-    asg = ivf_assignments(emb, cent_stride).select("vec_id", "centroid_id")
+    def _arrays(rows):
+        rows = sorted(rows, key=lambda r: r["vec_id"])  # ascending id order
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        Q = (
+            np.stack([np.asarray(r["q"], dtype=np.int64) for r in rows])
+            if rows
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        na = np.array([r["na"] for r in rows], dtype=np.int64)
+        return ids, Q, na
+
+    q_ids, q_Q, q_na = _arrays(qrows)
+    cent = _arrays(crows)
+    bq = spark.sparkContext.broadcast((q_ids, q_Q, q_na))
+    queries_df = spark.createDataFrame(
+        [(int(i), [int(x) for x in q], int(n)) for i, q, n in zip(q_ids, q_Q, q_na)],
+        schema=_QV_SCHEMA,
+    )
+
+    probe_df = ivf_probes(emb, stride, cent_stride, nprobe,
+                          _cent=cent, _queries=queries_df)
+    asg = ivf_assignments(emb, cent_stride, _cent=cent).select(
+        "vec_id", "centroid_id"
+    )
     cand = (
         asg.join(F.broadcast(probe_df), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
