@@ -39,6 +39,19 @@ _TAG = re.compile(r"<[^>]+>")
 _WS = re.compile(r"\s+", re.ASCII)
 
 
+def _collapse_ws(s: str) -> str:
+    """`_WS.sub(" ", s).strip()`, with the ASCII fast path: for ASCII
+    strings `" ".join(s.split())` is byte-identical (str.split's
+    whitespace set restricted to ASCII == re.ASCII \s) and ~10x faster —
+    this was the single most expensive regex pass of the extraction
+    cascade (41 us/doc, run 2-3x per page). Non-ASCII strings keep the
+    regex path: str.split would additionally split on unicode whitespace
+    (e.g. nbsp), which the pinned Java-\s contract must not."""
+    if s.isascii():
+        return " ".join(s.split())
+    return _WS.sub(" ", s).strip()
+
+
 def decode_html(raw: bytes) -> str:
     """The reference's exact decode rule (pipeline.py:638)."""
     return raw.decode("utf-8", errors="replace")
@@ -66,7 +79,7 @@ def canonicalize_html(raw: bytes | str, _pre_stripped: str | None = None) -> str
         s = _pre_stripped
     s = _TAG.sub(" ", s)
     s = _html.unescape(s)
-    return _WS.sub(" ", s).strip()
+    return _collapse_ws(s)
 
 
 def extract_title(raw: bytes | str) -> str | None:
@@ -74,7 +87,7 @@ def extract_title(raw: bytes | str) -> str | None:
     m = _TITLE.search(s)
     if not m:
         return None
-    t = _WS.sub(" ", _html.unescape(_TAG.sub(" ", m.group(1)))).strip()
+    t = _collapse_ws(_html.unescape(_TAG.sub(" ", m.group(1))))
     return t or None
 
 
@@ -96,7 +109,7 @@ def extract_main_text(raw: bytes | str, _pre_stripped: str | None = None) -> str
         s = _CHROME.sub(" ", s)
     s = _TAG.sub(" ", s)
     s = _html.unescape(s)
-    return _WS.sub(" ", s).strip()
+    return _collapse_ws(s)
 
 
 def extract_body_text(raw: bytes | str, _pre_stripped: str | None = None) -> str:
@@ -112,7 +125,7 @@ def extract_body_text(raw: bytes | str, _pre_stripped: str | None = None) -> str
     s = _HEAD.sub(" ", s)
     s = _TAG.sub(" ", s)
     s = _html.unescape(s)
-    return _WS.sub(" ", s).strip()
+    return _collapse_ws(s)
 
 
 # Chrome-CLASS tokens inside a declared content region: the regex
@@ -229,7 +242,7 @@ LINK_PRUNE_WORK_BUDGET = 10 * LINK_PRUNE_MAX_REGION
 
 
 def _plain_len(fragment: str) -> int:
-    return len(_WS.sub(" ", _html.unescape(_TAG.sub(" ", fragment))).strip())
+    return len(_collapse_ws(_html.unescape(_TAG.sub(" ", fragment))))
 
 
 def _prune_link_dense(s: str) -> str:
@@ -352,7 +365,7 @@ def extract_selector_text(raw: bytes | str, _pre_stripped: str | None = None) ->
                 joined = pruned
             joined = _TAG.sub(" ", joined)
             joined = _html.unescape(joined)
-            return _WS.sub(" ", joined).strip()
+            return _collapse_ws(joined)
     return ""
 
 
