@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from quarrycore_spark.config import DEFAULT_CONFIG, DedupConfig
+
 
 DEFAULT_GRAM_CAP = 200
 

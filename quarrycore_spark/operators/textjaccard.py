@@ -12,11 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from quarrycore_spark.functions import dialect as D
 from quarrycore_spark.operators._cache import track
-from quarrycore_spark.functions.dialect import SPARK
-
-_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
 
 
 def trigram_jaccard_pairs(
