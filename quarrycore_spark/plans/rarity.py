@@ -92,6 +92,67 @@ FROM _aug a LEFT JOIN _s s ON a.doc_id = s.doc_id
 """
 
 
+def _spark_word_rarity(spark, sf_dir):
+    """DataFrame-side word_rarity with the same arithmetic as the SQL
+    template (which stays the DuckDB oracle). Why not the generic
+    `spread` flag: the SQL's `_aug` CTE is referenced twice (explode path
+    + final LEFT JOIN), so a spread view repartitions the corpus twice
+    and measured net-slower (4.8 vs 3.7 s). Here only the CPU-dense
+    explode side is spread; the final join consumes a slim doc_id
+    projection of the plain scan."""
+    from pyspark.sql import functions as F
+
+    from quarrycore_spark.functions.dialect import SPARK
+    from quarrycore_spark.operators._partitioning import spread
+    from quarrycore_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    # identical atext expression to rarity_augmented_cte (Spark dialect)
+    pieces = []
+    for j in range(1, 4):
+        pieces.append(
+            f"CASE WHEN doc_id % 4 >= {j} "
+            f"THEN ' rare' || {j} || 'w' || doc_id ELSE '' END"
+        )
+    atext = "text || " + " || ".join(pieces)
+    aug = docs.select("doc_id", F.expr(atext).alias("atext"))
+    words = spread(aug).select(
+        "doc_id", F.explode(F.expr(_words("atext", SPARK))).alias("word")
+    )
+    dw = words.groupBy("doc_id", "word").agg(F.count("*").alias("c_dw"))
+    c = dw.groupBy("word").agg(F.sum("c_dw").alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("tot"))
+    j_ = (
+        dw.join(c, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "c_dw",
+            (F.expr("length(bin(tot))") - F.expr("length(bin(cnt))")).alias(
+                "surprisal"
+            ),
+        )
+    )
+    s = j_.groupBy("doc_id").agg(
+        F.sum("c_dw").alias("n_words"),
+        F.expr("(sum(c_dw * surprisal) * 1000) div sum(c_dw)").alias(
+            "rarity_milli"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("int").alias("n_words"),
+            F.coalesce("rarity_milli", F.lit(0)).cast("int").alias("rarity_milli"),
+            F.when(
+                F.coalesce("rarity_milli", F.lit(0)) >= TAIL_MILLI_MIN, 1
+            ).otherwise(0).cast("int").alias("is_tail"),
+        )
+    )
+
+
 register(
     Query(
         "word_rarity",
@@ -100,5 +161,6 @@ register(
         "unigram counts, exact via length(bin(n)) — two-stage (doc,word) "
         "pre-agg bounds the hot-word skew join",
         _word_rarity_sql,
+        spark_fn=_spark_word_rarity,
     )
 )
