@@ -53,11 +53,13 @@ class Query:
             # swap the named views for repartitioned ones only while the
             # plan is analyzed (spark.sql resolves views eagerly), then
             # restore so other queries see the plain scan again
-            for t in self.spread:
-                spread(dfs[t]).createOrReplaceTempView(t)
-            df = spark.sql(self.sql(SPARK))
-            for t in self.spread:
-                dfs[t].createOrReplaceTempView(t)
+            try:
+                for t in self.spread:
+                    spread(dfs[t]).createOrReplaceTempView(t)
+                df = spark.sql(self.sql(SPARK))
+            finally:
+                for t in self.spread:
+                    dfs[t].createOrReplaceTempView(t)
             return df
         return spark.sql(self.sql(SPARK))
 
